@@ -1,0 +1,64 @@
+"""Linear modal analysis, fully on-device.
+
+Solves the generalized eigenproblem K q = w^2 M q around a configuration by
+symmetrizing with the diagonal mass matrix: with y = M^{1/2} q,
+M^{-1/2} K M^{-1/2} y = w^2 y is a standard symmetric problem handled by
+``jnp.linalg.eigh`` on the accelerator — no scipy host roundtrip (contrast
+with reference difflexmm/dynamics.py:229-234 which falls back to LAPACK).
+"""
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from difflexmm_tpu.ops.assembly import constrain_energy
+from difflexmm_tpu.ops.kinematics import build_constrained_kinematics
+from difflexmm_tpu.solver.dynamics import _resolve_inertia
+from difflexmm_tpu.utils.types import ControlParams
+
+_EMPTY_PAIRS = np.zeros((0, 2), dtype=np.int64)
+
+
+def linear_mode_analysis(
+    displacement: jnp.ndarray,
+    geometry,
+    energy_fn,
+    control_params: ControlParams,
+    constrained_block_DOF_pairs=_EMPTY_PAIRS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigenfrequencies (squared) and mode shapes about ``displacement``.
+
+    Returns:
+        (eigenvalues (n_free,), modes (n_free, n_blocks, 3)); modes are
+        normalized to unit Euclidean norm and zero on constrained DOFs.
+    """
+
+    n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
+    kinematics = build_constrained_kinematics(
+        n_blocks, constrained_block_DOF_pairs=constrained_block_DOF_pairs
+    )
+    dof_set = kinematics.dof_set
+    constrained_energy = constrain_energy(energy_fn, kinematics)
+
+    u0 = jnp.asarray(displacement).reshape(n_blocks, 3) * dof_set.free_mask
+    K_full = jax.hessian(constrained_energy)(u0, 0.0, control_params).reshape(
+        3 * n_blocks, 3 * n_blocks
+    )
+    inertia = _resolve_inertia(control_params).reshape(-1)
+
+    free_idx = np.where(np.asarray(dof_set.free_mask).reshape(-1) > 0)[0]
+    K = K_full[jnp.ix_(free_idx, free_idx)]
+    m = inertia[free_idx]
+
+    inv_sqrt_m = 1.0 / jnp.sqrt(m)
+    K_sym = K * inv_sqrt_m[:, None] * inv_sqrt_m[None, :]
+    eigenvalues, Y = jnp.linalg.eigh(K_sym)
+
+    modes_free = Y.T * inv_sqrt_m[None, :]  # rows are modes
+    modes_free = modes_free / jnp.linalg.norm(modes_free, axis=1, keepdims=True)
+
+    modes = jnp.zeros((len(free_idx), 3 * n_blocks))
+    modes = modes.at[:, free_idx].set(modes_free)
+    return eigenvalues, modes.reshape(len(free_idx), n_blocks, 3)

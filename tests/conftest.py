@@ -1,0 +1,24 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 numerics.
+
+Tests validate physics against the reference oracles (float64 tolerances) and
+sharding against a virtual multi-device mesh; the TPU path is exercised by
+bench.py and __graft_entry__.py on real hardware.
+
+Note: the session environment registers a TPU-tunnel PJRT plugin at
+interpreter startup and force-selects it as the default platform, so the
+platform must be overridden through jax.config (the JAX_PLATFORMS env var is
+clobbered by that plugin's registration).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
