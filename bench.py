@@ -1,0 +1,87 @@
+"""Headline benchmark: forward+adjoint wall-clock per optimization iteration
+on the canonical quads-focusing problem (24x16 lattice, 200 timepoints —
+the paper's problem size, BASELINE.md row 2).
+
+Baseline: the reference runs JAX-on-CPU (float64, adaptive odeint) at
+<= 6 min per fwd+adjoint+constraints MMA iteration for its published
+results (BASELINE.md: 80 iterations under an 8 h cap). We use 360 s/iter as
+the baseline number; vs_baseline = 360 / our_seconds_per_iteration.
+
+Prints ONE JSON line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+BASELINE_SECONDS_PER_ITERATION = 360.0
+
+
+def build_flagship():
+    from difflexmm_tpu.models.quads_focusing import (
+        ForwardProblem,
+        OptimizationProblem,
+    )
+
+    problem = ForwardProblem(
+        n1_blocks=24,
+        n2_blocks=16,
+        spacing=1.0,
+        bond_length=0.1,
+        k_stretch=1.0,
+        k_shear=0.02,
+        k_rot=1e-3,
+        density=1.0,
+        damping=0.02,
+        amplitude=0.2,
+        loading_rate=3.0,
+        input_delay=0.0,
+        n_excited_blocks=4,
+        loaded_side="left",
+        input_shift=0,
+        simulation_time=2.0 / 0.3,  # ~2 transit periods, as in the notebooks
+        n_timepoints=200,
+        n_substeps=20,
+    )
+    optimization = OptimizationProblem(problem, target_size=(3, 3))
+    optimization.setup_objective()
+    design = problem.geometry.get_design_from_rotated_square(0.25)
+    return optimization, design
+
+
+def main():
+    optimization, design = build_flagship()
+    value_and_grad = jax.jit(jax.value_and_grad(optimization.objective_fn))
+
+    # Compile (excluded from the measurement).
+    val, grad = value_and_grad(design)
+    jax.block_until_ready((val, grad))
+
+    n_reps = 3
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        val, grad = value_and_grad(design)
+        jax.block_until_ready((val, grad))
+    seconds_per_iteration = (time.perf_counter() - t0) / n_reps
+
+    print(
+        json.dumps(
+            {
+                "metric": "quads_focusing_fwd_adjoint_seconds_per_opt_iteration",
+                "value": round(seconds_per_iteration, 4),
+                "unit": "s",
+                "vs_baseline": round(
+                    BASELINE_SECONDS_PER_ITERATION / seconds_per_iteration, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.stderr.write(f"bench device: {jax.devices()[0]}\n")
+    main()

@@ -1,0 +1,240 @@
+"""Method of Moving Asymptotes (MMA), JAX-native and fully on-device.
+
+Replaces the reference's dependence on nlopt's C implementation of LD_MMA
+(reference: problems/quads_focusing.py:582 drives ``nlopt.opt(nlopt.LD_MMA)``
+through a JAX<->numpy<->C boundary every iteration). Here the whole
+iteration — separable convex subproblem construction, dual solve, design
+update — is jnp, jit-compiled, and runs on the accelerator next to the
+simulation, so an optimization step never leaves the device.
+
+Algorithm: Svanberg's MMA (Krister Svanberg, "The method of moving
+asymptotes — a new method for structural optimization", IJNME 24:359-373,
+1987), implemented from the published algorithm:
+
+- separable approximations  f_i(x) ~= sum_j p_ij/(U_j - x_j) + q_ij/(x_j - L_j)
+  around the current iterate with moving asymptotes L < x < U,
+- asymptotes adapt per-variable based on oscillation of the last two steps,
+- the convex subproblem is solved in the dual: for fixed multipliers the
+  primal minimizer is closed-form, and the dual is maximized with projected
+  Adam (the dual dimension = number of constraints; each dual iteration is
+  two (m, n) matvecs — MXU-friendly).
+"""
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MMAState(NamedTuple):
+    """Per-iteration optimizer state (all (n,) arrays + an int counter)."""
+
+    x: jnp.ndarray
+    x_prev1: jnp.ndarray
+    x_prev2: jnp.ndarray
+    low: jnp.ndarray
+    upp: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+# Standard MMA constants.
+_ASY_INIT = 0.5
+_ASY_INCR = 1.2
+_ASY_DECR = 0.7
+# Svanberg's published clamp is 0.01; we let asymptotes shrink much further
+# so oscillation damping alone drives terminal convergence (nlopt's MMA gets
+# this from its globally-convergent inner loop instead).
+_ASY_MIN_FACTOR = 1e-8
+_ASY_MAX_FACTOR = 10.0
+_MOVE = 0.5
+_ALBEFA = 0.1
+_RAAMIN = 1e-6
+
+
+def mma_init(x0: jnp.ndarray, xmin: jnp.ndarray, xmax: jnp.ndarray) -> MMAState:
+    span = xmax - xmin
+    return MMAState(
+        x=x0,
+        x_prev1=x0,
+        x_prev2=x0,
+        low=x0 - _ASY_INIT * span,
+        upp=x0 + _ASY_INIT * span,
+        iteration=jnp.asarray(0),
+    )
+
+
+def _update_asymptotes(state: MMAState, xmin, xmax) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    span = jnp.maximum(xmax - xmin, _RAAMIN)
+    x, x1, x2 = state.x, state.x_prev1, state.x_prev2
+
+    osc = (x - x1) * (x1 - x2)
+    factor = jnp.where(osc > 0, _ASY_INCR, jnp.where(osc < 0, _ASY_DECR, 1.0))
+    low = x - factor * (x1 - state.low)
+    upp = x + factor * (state.upp - x1)
+
+    low = jnp.clip(low, x - _ASY_MAX_FACTOR * span, x - _ASY_MIN_FACTOR * span)
+    upp = jnp.clip(upp, x + _ASY_MIN_FACTOR * span, x + _ASY_MAX_FACTOR * span)
+
+    fresh = state.iteration < 2
+    low = jnp.where(fresh, x - _ASY_INIT * span, low)
+    upp = jnp.where(fresh, x + _ASY_INIT * span, upp)
+    return low, upp
+
+
+def _solve_dual(p0, q0, P, Q, b, low, upp, alpha, beta, n_dual_iters, lam_max):
+    """Maximize the MMA dual with projected Adam; return the primal minimizer."""
+
+    def x_of(lam):
+        pl = p0 + lam @ P
+        ql = q0 + lam @ Q
+        sp, sq = jnp.sqrt(pl), jnp.sqrt(ql)
+        xs = (low * sp + upp * sq) / (sp + sq)
+        return jnp.clip(xs, alpha, beta)
+
+    def dual_value(lam):
+        xs = x_of(lam)
+        pl = p0 + lam @ P
+        ql = q0 + lam @ Q
+        return jnp.sum(pl / (upp - xs) + ql / (xs - low)) - jnp.dot(lam, b)
+
+    dual_grad = jax.grad(dual_value)
+
+    m = P.shape[0]
+    lam0 = jnp.full((m,), 1.0, dtype=p0.dtype)
+    adam_b1, adam_b2, adam_eps, lr = 0.9, 0.999, 1e-8, 0.5
+
+    def body(i, carry):
+        lam, mom, vel = carry
+        g = dual_grad(lam)
+        mom = adam_b1 * mom + (1 - adam_b1) * g
+        vel = adam_b2 * vel + (1 - adam_b2) * g**2
+        mhat = mom / (1 - adam_b1 ** (i + 1.0))
+        vhat = vel / (1 - adam_b2 ** (i + 1.0))
+        lam = lam + lr * mhat / (jnp.sqrt(vhat) + adam_eps)  # ascent
+        lam = jnp.clip(lam, 0.0, lam_max)
+        return lam, mom, vel
+
+    lam, _, _ = jax.lax.fori_loop(
+        0, n_dual_iters, body, (lam0, jnp.zeros_like(lam0), jnp.zeros_like(lam0))
+    )
+    return x_of(lam), lam
+
+
+def mma_update(
+    state: MMAState,
+    df0: jnp.ndarray,
+    fi: Optional[jnp.ndarray],
+    dfi: Optional[jnp.ndarray],
+    xmin: jnp.ndarray,
+    xmax: jnp.ndarray,
+    n_dual_iters: int = 100,
+    lam_max: float = 1e4,
+) -> MMAState:
+    """One MMA design update (minimization form).
+
+    Args:
+        state: current MMAState.
+        df0: (n,) objective gradient at ``state.x``.
+        fi: (m,) constraint values (feasible iff <= 0), or None.
+        dfi: (m, n) constraint jacobian, or None.
+        xmin/xmax: (n,) bounds.
+
+    Returns:
+        Updated state with the new iterate in ``.x``.
+    """
+
+    x = state.x
+    low, upp = _update_asymptotes(state, xmin, xmax)
+
+    u_x = upp - x
+    x_l = x - low
+    span = jnp.maximum(xmax - xmin, _RAAMIN)
+
+    alpha = jnp.maximum(xmin, jnp.maximum(low + _ALBEFA * x_l, x - _MOVE * span))
+    beta = jnp.minimum(xmax, jnp.minimum(upp - _ALBEFA * u_x, x + _MOVE * span))
+
+    eps_term = 1e-5 / span
+    p0 = u_x**2 * (jnp.maximum(df0, 0) + 1e-3 * jnp.maximum(-df0, 0) + eps_term)
+    q0 = x_l**2 * (jnp.maximum(-df0, 0) + 1e-3 * jnp.maximum(df0, 0) + eps_term)
+
+    if fi is None or dfi is None or dfi.shape[0] == 0:
+        sp, sq = jnp.sqrt(p0), jnp.sqrt(q0)
+        x_new = jnp.clip((low * sp + upp * sq) / (sp + sq), alpha, beta)
+    else:
+        P = u_x[None, :] ** 2 * jnp.maximum(dfi, 0)
+        Q = x_l[None, :] ** 2 * jnp.maximum(-dfi, 0)
+        b = P @ (1.0 / u_x) + Q @ (1.0 / x_l) - fi
+        x_new, _ = _solve_dual(
+            p0, q0, P, Q, b, low, upp, alpha, beta, n_dual_iters, lam_max
+        )
+
+    return MMAState(
+        x=x_new,
+        x_prev1=x,
+        x_prev2=state.x_prev1,
+        low=low,
+        upp=upp,
+        iteration=state.iteration + 1,
+    )
+
+
+def run_mma(
+    objective_and_grad: Callable,
+    x0: jnp.ndarray,
+    xmin: jnp.ndarray,
+    xmax: jnp.ndarray,
+    n_iterations: int,
+    constraints_and_jac: Optional[Callable] = None,
+    maximize: bool = False,
+    callback: Optional[Callable] = None,
+    n_dual_iters: int = 100,
+):
+    """Run an MMA optimization loop on flat design vectors.
+
+    Args:
+        objective_and_grad: ``x -> (value, grad)`` (jit recommended).
+        x0, xmin, xmax: (n,) initial design and bounds.
+        n_iterations: outer MMA iterations.
+        constraints_and_jac: optional ``x -> (fi (m,), dfi (m, n))`` with
+            feasibility fi <= 0.
+        maximize: maximize instead of minimize.
+        callback: ``callback(iteration, x, value, fi)`` per iteration.
+
+    Returns:
+        (x_best_last, history dict with per-iteration objective values,
+        designs, and max constraint violations).
+    """
+
+    sign = -1.0 if maximize else 1.0
+    state = mma_init(jnp.asarray(x0), jnp.asarray(xmin), jnp.asarray(xmax))
+    history = {"objective_values": [], "design_values": [], "constraints_violation": []}
+
+    update = jax.jit(
+        lambda s, g, fi, dfi: mma_update(
+            s, g, fi, dfi, jnp.asarray(xmin), jnp.asarray(xmax),
+            n_dual_iters=n_dual_iters,
+        )
+    ) if constraints_and_jac is not None else jax.jit(
+        lambda s, g: mma_update(
+            s, g, None, None, jnp.asarray(xmin), jnp.asarray(xmax),
+            n_dual_iters=n_dual_iters,
+        )
+    )
+
+    for it in range(n_iterations):
+        value, grad = objective_and_grad(state.x)
+        if constraints_and_jac is not None:
+            fi, dfi = constraints_and_jac(state.x)
+            state = update(state, sign * grad, fi, dfi)
+            violation = float(jnp.max(fi)) if fi.size else 0.0
+        else:
+            state = update(state, sign * grad)
+            violation = 0.0
+
+        history["objective_values"].append(float(value))
+        history["design_values"].append(state.x_prev1)
+        history["constraints_violation"].append(violation)
+        if callback is not None:
+            callback(it, state.x_prev1, value, violation)
+
+    return state.x, history

@@ -1,0 +1,91 @@
+"""End-to-end model test: quads focusing forward + inverse design (tiny)."""
+
+import jax
+import jax.numpy as jnp
+
+from difflexmm_tpu.models.quads_focusing import ForwardProblem, OptimizationProblem
+
+
+def _tiny_problem(**overrides):
+    params = dict(
+        n1_blocks=6,
+        n2_blocks=6,  # n2 >= 6 so driven mid-rows don't overlap clamped corners
+        spacing=1.0,
+        bond_length=0.1,
+        k_stretch=1.0,
+        k_shear=0.02,
+        k_rot=1e-3,
+        density=1.0,
+        damping=0.02,
+        amplitude=0.15,
+        loading_rate=2.0,
+        input_delay=0.0,
+        n_excited_blocks=2,
+        loaded_side="left",
+        input_shift=0,
+        simulation_time=3.0,
+        n_timepoints=16,
+        n_substeps=24,
+    )
+    params.update(overrides)
+    return ForwardProblem(**params)
+
+
+def test_forward_solve_and_response_data():
+    problem = _tiny_problem()
+    problem.setup()
+    geo = problem.geometry
+    design = geo.get_design_from_rotated_square(0.25)
+    solution = problem.solve(design)
+    assert solution.fields.shape == (16, 2, geo.n_blocks, 3)
+    # Pulse enters: driven blocks displaced in +x at the pulse peak
+    peak_idx = jnp.argmin(jnp.abs(solution.timepoints - 0.25))
+    driven = problem.driven_blocks_ids
+    assert jnp.all(solution.fields[peak_idx, 0, driven, 0] > 0.05)
+    # Clamped corners do not move
+    assert jnp.allclose(solution.fields[:, :, problem.clamped_blocks_ids, :], 0.0)
+
+    problem.solution_data = solution
+    response = problem.compute_response_data()
+    assert response["kinetic_energy"].shape == (16, geo.n_blocks)
+    assert response["strain_energy_stretch"].shape[0] == 16
+    assert bool(jnp.all(jnp.isfinite(response["strain_energy_shear"])))
+
+
+def test_objective_gradient_and_optimization_step():
+    problem = _tiny_problem()
+    opt = OptimizationProblem(problem, target_size=(2, 2))
+    opt.setup_objective()
+    design = problem.geometry.get_design_from_rotated_square(0.25)
+
+    value, grad = jax.value_and_grad(opt.objective_fn)(design)
+    assert value > 0
+    gnorm = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grad)))
+    assert jnp.isfinite(gnorm) and gnorm > 0
+
+    final = opt.run_optimization_mma(
+        design,
+        n_iterations=4,
+        lower_bound=-0.3,
+        upper_bound=0.3,
+        min_void_angle=0.0,
+        min_block_angle=0.0,
+        min_edge_length=0.05,
+        verbose=False,
+    )
+    assert len(opt.objective_values) == 4
+    # The optimizer made progress on the objective
+    assert opt.objective_values[-1] > opt.objective_values[0]
+    assert opt.forward_problem.solution_data is not None
+    assert jax.tree.structure(final) == jax.tree.structure(design)
+
+
+def test_serialization_roundtrip():
+    problem = _tiny_problem()
+    opt = OptimizationProblem(problem, target_size=(2, 2), target_shift=(1, 0))
+    d = opt.to_dict()
+    opt2 = OptimizationProblem.from_dict(d)
+    assert opt2.forward_problem.n1_blocks == 6
+    assert opt2.target_size == (2, 2) or tuple(opt2.target_size) == (2, 2)
+    opt2.setup_objective()
+    assert callable(opt2.objective_fn)

@@ -1,0 +1,112 @@
+"""Optimizer tests: MMA on constrained analytic problems, optax loop."""
+
+import jax
+import jax.numpy as jnp
+
+from difflexmm_tpu.optim import naive_gd, run_mma, run_optimization_optax
+
+
+def test_mma_unconstrained_quadratic():
+    target = jnp.array([1.0, -2.0, 0.5])
+
+    def f_and_g(x):
+        return jax.value_and_grad(lambda z: jnp.sum((z - target) ** 2))(x)
+
+    x0 = jnp.zeros(3)
+    x, hist = run_mma(
+        f_and_g, x0, xmin=-5 * jnp.ones(3), xmax=5 * jnp.ones(3), n_iterations=40
+    )
+    assert jnp.allclose(x, target, atol=1e-3)
+    assert hist["objective_values"][-1] < hist["objective_values"][0]
+
+
+def test_mma_constrained_projection():
+    """min (x-1)^2 + (y-2)^2 s.t. x + y <= 2, 0 <= x,y <= 3 -> (0.5, 1.5)."""
+
+    def f_and_g(x):
+        return jax.value_and_grad(lambda z: (z[0] - 1) ** 2 + (z[1] - 2) ** 2)(x)
+
+    def cons(x):
+        fi = jnp.array([x[0] + x[1] - 2.0])
+        dfi = jnp.array([[1.0, 1.0]])
+        return fi, dfi
+
+    x, hist = run_mma(
+        f_and_g,
+        jnp.array([0.0, 0.0]),
+        xmin=jnp.zeros(2),
+        xmax=3 * jnp.ones(2),
+        n_iterations=60,
+        constraints_and_jac=cons,
+    )
+    assert jnp.allclose(x, jnp.array([0.5, 1.5]), atol=5e-3)
+    assert x[0] + x[1] <= 2.0 + 1e-6
+
+
+def test_mma_active_bound():
+    """min (x+1)^2 with 0 <= x <= 3 -> x = 0 (bound active)."""
+
+    def f_and_g(x):
+        return jax.value_and_grad(lambda z: jnp.sum((z + 1) ** 2))(x)
+
+    x, _ = run_mma(
+        f_and_g, jnp.array([2.0]), xmin=jnp.zeros(1), xmax=3 * jnp.ones(1),
+        n_iterations=30,
+    )
+    assert jnp.allclose(x, 0.0, atol=1e-6)
+
+
+def test_mma_maximize():
+    def f_and_g(x):
+        return jax.value_and_grad(lambda z: -jnp.sum((z - 2.0) ** 2))(x)
+
+    x, _ = run_mma(
+        f_and_g, jnp.zeros(2), xmin=-5 * jnp.ones(2), xmax=5 * jnp.ones(2),
+        n_iterations=40, maximize=True,
+    )
+    assert jnp.allclose(x, 2.0, atol=1e-3)
+
+
+def test_mma_many_constraints():
+    """n=20 variables, m=40 box-halfspace constraints x_j <= 0.3."""
+
+    n = 20
+    A = jnp.concatenate([jnp.eye(n), -jnp.eye(n)])
+    ub = jnp.concatenate([0.3 * jnp.ones(n), 0.3 * jnp.ones(n)])  # |x_j| <= 0.3
+
+    def f_and_g(x):
+        return jax.value_and_grad(lambda z: jnp.sum((z - 1.0) ** 2))(x)
+
+    def cons(x):
+        return A @ x - ub, A
+
+    x, _ = run_mma(
+        f_and_g, jnp.zeros(n), xmin=-2 * jnp.ones(n), xmax=2 * jnp.ones(n),
+        n_iterations=60, constraints_and_jac=cons,
+    )
+    assert jnp.allclose(x, 0.3, atol=5e-3)
+
+
+def test_optax_loop_with_bounds():
+    def objective(tree):
+        return -jnp.sum((tree["a"] - 0.7) ** 2)  # maximize -> a = 0.7
+
+    result = run_optimization_optax(
+        objective,
+        {"a": jnp.zeros(4)},
+        n_iterations=400,
+        maximize=True,
+        lower_bound=0.0,
+        upper_bound=0.5,
+    )
+    assert jnp.allclose(result.design["a"], 0.5, atol=1e-3)  # clipped at bound
+    assert len(result.objective_values) == 400
+
+
+def test_naive_gd():
+    def oag(x):
+        return jax.value_and_grad(lambda z: jnp.sum(z**2))(x)
+
+    x, vals, _ = naive_gd(oag, jnp.ones(3), n_iterations=200, learning_rate=0.1)
+    assert jnp.allclose(x, 0.0, atol=1e-6)
+    assert vals[-1] < vals[0]
