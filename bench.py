@@ -38,14 +38,16 @@ def build_flagship():
         density=1.0,
         damping=0.02,
         amplitude=0.2,
-        loading_rate=3.0,
+        loading_rate=0.5,  # pulse spans ~2 lattice transit units
         input_delay=0.0,
         n_excited_blocks=4,
         loaded_side="left",
         input_shift=0,
-        simulation_time=2.0 / 0.3,  # ~2 transit periods, as in the notebooks
+        # Wave speed ~ spacing*sqrt(k/m) ~ 1.1: the pulse crosses the
+        # half-lattice to the central target and keeps ringing.
+        simulation_time=20.0,
         n_timepoints=200,
-        n_substeps=20,
+        n_substeps=10,
     )
     optimization = OptimizationProblem(problem, target_size=(3, 3))
     optimization.setup_objective()

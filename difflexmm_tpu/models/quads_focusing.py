@@ -23,9 +23,11 @@ import jax.numpy as jnp
 from difflexmm_tpu.geometry.polygon import compute_inertia
 from difflexmm_tpu.geometry.quad import QuadGeometry
 from difflexmm_tpu.models import base
+from difflexmm_tpu.models.runner import OptimizationRunnerMixin
 from difflexmm_tpu.ops.assembly import build_strain_energy, combine_block_energies
 from difflexmm_tpu.ops.bonds import ligament_energy, ligament_energy_linearized
 from difflexmm_tpu.ops.contact import build_contact_energy
+from difflexmm_tpu.ops.grid import build_quad_grid_energy
 from difflexmm_tpu.ops.observables import (
     compute_ligament_strains_history,
     kinetic_energy,
@@ -89,8 +91,11 @@ class ForwardProblem:
     solution_data: Optional[Union[SolutionType, List[SolutionType]]] = None
 
     # Solver configuration (TPU path: fixed-step checkpointed scan).
-    method: str = "rk4"
+    method: str = "verlet"
     n_substeps: int = 20
+    # Gather-free gridded energy assembly (ops/grid.py); bit-identical to
+    # the general path, much lower per-step op count on TPU.
+    grid_energy: bool = True
     atol: float = 1e-8
     rtol: float = 1e-8
 
@@ -132,16 +137,21 @@ class ForwardProblem:
             def constrained_DOFs_fn(t, **kwargs):
                 return excited_blocks_fn(t) * drive_vector
 
-        strain_energy = build_strain_energy(
-            bonds,
-            ligament_energy_linearized if self.linearized_strains else ligament_energy,
+        bond_energy_fn = (
+            ligament_energy_linearized if self.linearized_strains else ligament_energy
         )
-        if self.use_contact:
-            energy = combine_block_energies(
-                strain_energy, build_contact_energy(bonds)
+        if self.grid_energy:
+            energy = build_quad_grid_energy(
+                self.n1_blocks, self.n2_blocks, bond_energy_fn,
+                use_contact=self.use_contact,
             )
         else:
-            energy = strain_energy
+            strain_energy = build_strain_energy(bonds, bond_energy_fn)
+            energy = (
+                combine_block_energies(strain_energy, build_contact_energy(bonds))
+                if self.use_contact
+                else strain_energy
+            )
 
         solve_dynamics = setup_dynamic_solver(
             geometry=geometry,
@@ -260,7 +270,7 @@ class ForwardProblem:
 
 
 @dataclass
-class OptimizationProblem:
+class OptimizationProblem(OptimizationRunnerMixin):
     """Maximize target-patch kinetic energy over the hinge-shift design."""
 
     forward_problem: ForwardProblem
@@ -299,147 +309,6 @@ class OptimizationProblem:
         self.objective_fn = target_kinetic_energy
         self.target_blocks = target_blocks
         self.is_setup = True
-
-    def _design_constraints(
-        self,
-        min_void_angle: Optional[float],
-        min_block_angle: Optional[float],
-        min_edge_length: Optional[float],
-        boundary_angle_constraint: bool,
-    ) -> List[Callable]:
-        geometry = self.forward_problem.geometry
-        constraints = []
-        if min_void_angle is not None and min_block_angle is not None:
-            boundary_ids = (
-                base.quad_boundary_node_ids(geometry.n1_blocks, geometry.n2_blocks)
-                if boundary_angle_constraint
-                else None
-            )
-            self.angle_constraints = base.build_angle_constraints(
-                geometry.centroid_node_vectors,
-                geometry.bond_connectivity(),
-                min_void_angle,
-                min_block_angle,
-                boundary_ids,
-            )
-            constraints.append(("angles", self.angle_constraints))
-        if min_edge_length is not None:
-            self.edge_length_constraints = base.build_edge_length_constraints(
-                geometry.centroid_node_vectors, min_edge_length
-            )
-            constraints.append(("edge_lengths", self.edge_length_constraints))
-        return constraints
-
-    def run_optimization_mma(
-        self,
-        initial_guess,
-        n_iterations: int,
-        lower_bound: Optional[float] = None,
-        upper_bound: Optional[float] = None,
-        min_void_angle: Optional[float] = None,
-        min_block_angle: Optional[float] = None,
-        min_edge_length: Optional[float] = None,
-        boundary_angle_constraint: bool = False,
-        verbose: bool = True,
-    ):
-        """Constrained inverse design with the on-device MMA optimizer."""
-
-        if not self.is_setup:
-            self.setup_objective()
-
-        flat0, unflatten = ravel_pytree(initial_guess)
-        objective_and_grad = jax.jit(
-            jax.value_and_grad(lambda x: self.objective_fn(unflatten(x)))
-        )
-
-        constraint_fns = self._design_constraints(
-            min_void_angle, min_block_angle, min_edge_length,
-            boundary_angle_constraint,
-        )
-        if constraint_fns:
-            names = [name for name, _ in constraint_fns]
-            fns = [fn for _, fn in constraint_fns]
-
-            def stacked(x):
-                return jnp.concatenate([fn(unflatten(x)) for fn in fns])
-
-            constraints_and_jac = jax.jit(
-                lambda x: (stacked(x), jax.jacobian(stacked)(x))
-            )
-            sizes = [len(fn(initial_guess)) for fn in fns]
-        else:
-            constraints_and_jac = None
-            names, sizes = [], []
-
-        span = float(jnp.max(jnp.abs(flat0))) + 1.0
-        xmin = jnp.full_like(flat0, lower_bound if lower_bound is not None else -10 * span)
-        xmax = jnp.full_like(flat0, upper_bound if upper_bound is not None else 10 * span)
-
-        def callback(it, x, value, violation):
-            self.objective_values.append(float(value))
-            self.design_values.append(unflatten(x))
-            if constraints_and_jac is not None:
-                fi, _ = constraints_and_jac(x)
-                offset = 0
-                for name, size in zip(names, sizes):
-                    self.constraints_violation[name].append(
-                        float(jnp.max(fi[offset:offset + size]))
-                    )
-                    offset += size
-            if verbose:
-                print(f"Iteration: {len(self.objective_values)}\n"
-                      f"Objective = {self.objective_values[-1]}")
-
-        x_final, _ = run_mma(
-            objective_and_grad,
-            flat0,
-            xmin=xmin,
-            xmax=xmax,
-            n_iterations=n_iterations,
-            constraints_and_jac=constraints_and_jac,
-            maximize=True,
-            callback=callback,
-        )
-        self.compute_best_forward()
-        return unflatten(x_final)
-
-    def run_optimization_optax(self, initial_guess, n_iterations: int,
-                               optimizer=None, lower_bound=None,
-                               upper_bound=None, verbose: bool = True):
-        """Unconstrained (box-projected) inverse design with optax."""
-
-        if not self.is_setup:
-            self.setup_objective()
-
-        def callback(it, design, value):
-            self.objective_values.append(value)
-            self.design_values.append(design)
-            if verbose:
-                print(f"Iteration: {len(self.objective_values)}\n"
-                      f"Objective = {value}")
-
-        result = run_optimization_optax(
-            self.objective_fn,
-            initial_guess,
-            n_iterations=n_iterations,
-            optimizer=optimizer,
-            maximize=True,
-            lower_bound=lower_bound,
-            upper_bound=upper_bound,
-            callback=callback,
-        )
-        self.compute_best_forward()
-        return result.design
-
-    def compute_best_forward(self) -> SolutionData:
-        if not self.design_values:
-            raise ValueError("No design has been optimized yet.")
-        if not self.forward_problem.is_setup:
-            self.forward_problem.setup()
-        self.forward_problem.solution_data = self.forward_problem.solve(
-            self.design_values[-1]
-        )
-        return self.forward_problem.solution_data
 
     # -- serialization ------------------------------------------------------
 

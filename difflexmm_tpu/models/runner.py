@@ -1,0 +1,200 @@
+"""Shared optimization-runner mixin for all model families.
+
+Each model's ``OptimizationProblem`` supplies ``setup_objective`` (installing
+``self.objective_fn``) and inherits the MMA / optax drivers, fabrication
+constraint wiring, and iteration-history bookkeeping from here.
+"""
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from difflexmm_tpu.models import base
+from difflexmm_tpu.optim.loops import ravel_pytree, run_optimization_optax
+from difflexmm_tpu.optim.mma import run_mma
+
+
+class OptimizationRunnerMixin:
+    """Drives ``self.objective_fn`` (maximized) with MMA or optax.
+
+    Requires on self: ``objective_fn``, ``objective_values``,
+    ``design_values``, ``constraints_violation``, ``is_setup``, and either
+    ``forward_problem`` or ``forward_problems``.
+    """
+
+    # -- helpers ------------------------------------------------------------
+
+    def _primary_forward(self):
+        if hasattr(self, "forward_problem"):
+            return self.forward_problem
+        return self.forward_problems[0]
+
+    def _geometry(self):
+        return self._primary_forward().geometry
+
+    def _boundary_node_ids(self):
+        geometry = self._geometry()
+        return base.quad_boundary_node_ids(geometry.n1_blocks, geometry.n2_blocks)
+
+    def _design_constraints(
+        self,
+        min_void_angle: Optional[float],
+        min_block_angle: Optional[float],
+        min_edge_length: Optional[float],
+        boundary_angle_constraint: bool = False,
+    ) -> List:
+        geometry = self._geometry()
+        constraints = []
+        if min_void_angle is not None and min_block_angle is not None:
+            boundary_ids = (
+                self._boundary_node_ids() if boundary_angle_constraint else None
+            )
+            self.angle_constraints = base.build_angle_constraints(
+                geometry.centroid_node_vectors,
+                geometry.bond_connectivity(),
+                min_void_angle,
+                min_block_angle,
+                boundary_ids,
+            )
+            constraints.append(("angles", self.angle_constraints))
+        if min_edge_length is not None:
+            self.edge_length_constraints = base.build_edge_length_constraints(
+                geometry.centroid_node_vectors, min_edge_length
+            )
+            constraints.append(("edge_lengths", self.edge_length_constraints))
+        return constraints
+
+    # -- drivers ------------------------------------------------------------
+
+    def run_optimization_mma(
+        self,
+        initial_guess,
+        n_iterations: int,
+        lower_bound: Optional[float] = None,
+        upper_bound: Optional[float] = None,
+        min_void_angle: Optional[float] = None,
+        min_block_angle: Optional[float] = None,
+        min_edge_length: Optional[float] = None,
+        boundary_angle_constraint: bool = False,
+        verbose: bool = True,
+    ):
+        """Constrained inverse design with the on-device MMA optimizer."""
+
+        if not self.is_setup:
+            self.setup_objective()
+
+        flat0, unflatten = ravel_pytree(initial_guess)
+        objective_and_grad = jax.jit(
+            jax.value_and_grad(lambda x: self.objective_fn(unflatten(x)))
+        )
+
+        constraint_fns = self._design_constraints(
+            min_void_angle, min_block_angle, min_edge_length,
+            boundary_angle_constraint,
+        )
+        if constraint_fns:
+            names = [name for name, _ in constraint_fns]
+            fns = [fn for _, fn in constraint_fns]
+
+            def stacked(x):
+                return jnp.concatenate([fn(unflatten(x)) for fn in fns])
+
+            constraints_and_jac = jax.jit(
+                lambda x: (stacked(x), jax.jacobian(stacked)(x))
+            )
+            sizes = [len(fn(initial_guess)) for fn in fns]
+        else:
+            constraints_and_jac = None
+            names, sizes = [], []
+
+        span = float(jnp.max(jnp.abs(flat0))) + 1.0
+        xmin = jnp.full_like(
+            flat0, lower_bound if lower_bound is not None else -10 * span
+        )
+        xmax = jnp.full_like(
+            flat0, upper_bound if upper_bound is not None else 10 * span
+        )
+
+        def callback(it, x, value, violation):
+            self.objective_values.append(float(value))
+            self.design_values.append(unflatten(x))
+            if hasattr(self, "objective_fn_individual"):
+                self.objective_values_individual.append(
+                    self.objective_fn_individual(unflatten(x))
+                )
+            if constraints_and_jac is not None:
+                fi, _ = constraints_and_jac(x)
+                offset = 0
+                for name, size in zip(names, sizes):
+                    self.constraints_violation[name].append(
+                        float(jnp.max(fi[offset:offset + size]))
+                    )
+                    offset += size
+            if verbose:
+                print(f"Iteration: {len(self.objective_values)}\n"
+                      f"Objective = {self.objective_values[-1]}")
+
+        x_final, _ = run_mma(
+            objective_and_grad,
+            flat0,
+            xmin=xmin,
+            xmax=xmax,
+            n_iterations=n_iterations,
+            constraints_and_jac=constraints_and_jac,
+            maximize=True,
+            callback=callback,
+        )
+        self.compute_best_forward()
+        return unflatten(x_final)
+
+    def run_optimization_optax(
+        self,
+        initial_guess,
+        n_iterations: int,
+        optimizer=None,
+        lower_bound=None,
+        upper_bound=None,
+        verbose: bool = True,
+    ):
+        """Unconstrained (box-projected) inverse design with optax."""
+
+        if not self.is_setup:
+            self.setup_objective()
+
+        def callback(it, design, value):
+            self.objective_values.append(value)
+            self.design_values.append(design)
+            if verbose:
+                print(f"Iteration: {len(self.objective_values)}\n"
+                      f"Objective = {value}")
+
+        result = run_optimization_optax(
+            self.objective_fn,
+            initial_guess,
+            n_iterations=n_iterations,
+            optimizer=optimizer,
+            maximize=True,
+            lower_bound=lower_bound,
+            upper_bound=upper_bound,
+            callback=callback,
+        )
+        self.compute_best_forward()
+        return result.design
+
+    def compute_best_forward(self):
+        if not self.design_values:
+            raise ValueError("No design has been optimized yet.")
+        best = self.design_values[-1]
+        if hasattr(self, "forward_problem"):
+            if not self.forward_problem.is_setup:
+                self.forward_problem.setup()
+            self.forward_problem.solution_data = self.forward_problem.solve(best)
+            return self.forward_problem.solution_data
+        solutions = []
+        for problem in self.forward_problems:
+            if not problem.is_setup:
+                problem.setup()
+            problem.solution_data = problem.solve(best)
+            solutions.append(problem.solution_data)
+        return solutions

@@ -1,0 +1,146 @@
+"""Gather-free gridded energy assembly for quad-grid lattices.
+
+For QuadGeometry / RotatedSquareGeometry the connectivity is a regular
+(n2, n1) grid of 4-node blocks: horizontal bonds join corner 0 of block
+(j, i) to corner 2 of block (j, i+1), vertical bonds corner 1 of (j, i) to
+corner 3 of (j+1, i). Reshaping node arrays to (n2, n1, 4, .) turns every
+bond gather into a shifted slice and every contact-neighbor lookup into a
+static corner index — no gather/scatter anywhere in the hot loop, which on
+TPU removes the dominant per-step op cost of the general path
+(ops/assembly.py + ops/contact.py). Reverse-mode AD of slices lowers to
+pads/adds, equally cheap.
+
+Produces bit-identical physics to the general path (tested); bond parameter
+arrays ordered like the general connectivity (all horizontal bonds n2-major,
+then all vertical) are reshaped to the grid automatically.
+"""
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from difflexmm_tpu.geometry.polygon import signed_angle
+from difflexmm_tpu.ops.bonds import ligament_energy
+from difflexmm_tpu.ops.contact import contact_energy, edges_distance
+from difflexmm_tpu.ops.kinematics import block_to_node_kinematics
+from difflexmm_tpu.utils.types import ControlParams
+
+
+def _unit(v):
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def _grid_bond_params(value, n1: int, n2: int):
+    """Split scalar-or-(n_bonds,) stiffness into (horizontal, vertical) grids."""
+
+    value = jnp.asarray(value)
+    if value.ndim == 0:
+        return value, value
+    n_h = (n1 - 1) * n2
+    horizontal = value[:n_h].reshape(n2, n1 - 1)
+    vertical = value[n_h:].reshape(n2 - 1, n1)
+    return horizontal, vertical
+
+
+def build_quad_grid_energy(
+    n1_blocks: int,
+    n2_blocks: int,
+    bond_energy_fn: Callable = ligament_energy,
+    use_contact: bool = True,
+    angle_based: bool = True,
+) -> Callable:
+    """Strain (+ contact) energy on the quad grid, gather-free.
+
+    Drop-in replacement for ``combine_block_energies(build_strain_energy(...),
+    build_contact_energy(...))`` on quad-grid lattices; same
+    ``energy_fn(block_displacement, control_params)`` contract.
+    """
+
+    n1, n2 = n1_blocks, n2_blocks
+    n_h = (n1 - 1) * n2
+
+    def energy_fn(block_displacement: jnp.ndarray, control_params: ControlParams):
+        gp = control_params.geometrical_params
+        bp = control_params.mechanical_params.bond_params
+        cnv = gp.centroid_node_vectors  # (nb, 4, 2)
+
+        node_DOFs = block_to_node_kinematics(block_displacement, cnv).reshape(
+            n2, n1, 4, 3
+        )
+
+        # --- bonds as shifted slices ------------------------------------
+        h1 = node_DOFs[:, :-1, 0, :]
+        h2 = node_DOFs[:, 1:, 2, :]
+        v1 = node_DOFs[:-1, :, 1, :]
+        v2 = node_DOFs[1:, :, 3, :]
+
+        ref = jnp.asarray(bp.reference_vector)
+        if ref.ndim == 1:
+            ref_h = ref
+            ref_v = ref
+        else:
+            ref_h = ref[:n_h].reshape(n2, n1 - 1, 2)
+            ref_v = ref[n_h:].reshape(n2 - 1, n1, 2)
+
+        ks_h, ks_v = _grid_bond_params(bp.k_stretch, n1, n2)
+        ksh_h, ksh_v = _grid_bond_params(bp.k_shear, n1, n2)
+        kr_h, kr_v = _grid_bond_params(bp.k_rot, n1, n2)
+
+        strain = jnp.sum(
+            bond_energy_fn((h1, h2), reference_vector=ref_h,
+                           k_stretch=ks_h, k_shear=ksh_h, k_rot=kr_h)
+        ) + jnp.sum(
+            bond_energy_fn((v1, v2), reference_vector=ref_v,
+                           k_stretch=ks_v, k_shear=ksh_v, k_rot=kr_v)
+        )
+
+        if not use_contact or control_params.mechanical_params.contact_params is None:
+            return strain
+
+        # --- contact on the same slices ----------------------------------
+        cp = control_params.mechanical_params.contact_params
+        positions = (
+            gp.block_centroids[:, None] + cnv
+        ).reshape(n2, n1, 4, 2) + node_DOFs[..., :2]
+
+        def corner_edges(p_block, corner):
+            node = p_block[..., corner, :]
+            e_next = p_block[..., (corner + 1) % 4, :] - node
+            e_prev = p_block[..., (corner - 1) % 4, :] - node
+            return e_next, e_prev, node
+
+        def gaps(p1_block, c1, p2_block, c2):
+            """Void angles (or edge distances) at bonds joining corner c1 of
+            the first block set to corner c2 of the second."""
+
+            e1_next, e1_prev, node1 = corner_edges(p1_block, c1)
+            e2_next, e2_prev, node2 = corner_edges(p2_block, c2)
+            if angle_based:
+                void_1 = signed_angle(_unit(e2_prev), _unit(e1_next))
+                void_2 = signed_angle(_unit(e1_prev), _unit(e2_next))
+            else:
+                void_1 = edges_distance(
+                    jnp.stack([node1, node1 + e1_next], axis=-2),
+                    jnp.stack([node2, node2 + e2_prev], axis=-2),
+                )
+                void_2 = edges_distance(
+                    jnp.stack([node1, node1 + e1_prev], axis=-2),
+                    jnp.stack([node2, node2 + e2_next], axis=-2),
+                )
+            return void_1, void_2
+
+        vh1, vh2 = gaps(positions[:, :-1], 0, positions[:, 1:], 2)
+        vv1, vv2 = gaps(positions[:-1, :], 1, positions[1:, :], 3)
+
+        contact = sum(
+            jnp.sum(
+                contact_energy(
+                    g, min_angle=cp.min_angle, cutoff_angle=cp.cutoff_angle,
+                    k_contact=cp.k_contact,
+                )
+            )
+            for g in (vh1, vh2, vv1, vv2)
+        )
+        return strain + contact
+
+    return energy_fn

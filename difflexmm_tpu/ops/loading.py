@@ -97,6 +97,27 @@ def build_node_loading(
     return node_loading_fn
 
 
+def build_damping_coefficients(geometry, damped_blocks):
+    """Dense (n_blocks, 3) viscous coefficient field from per-block values.
+
+    Used by integrators that treat the linear damping term implicitly
+    (solver.dynamics velocity-Verlet); ``build_viscous_damping`` remains for
+    force-style composition.
+    """
+
+    n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
+    damped = np.asarray(damped_blocks, dtype=np.int64).reshape(-1)
+    damped_idx = jnp.asarray(damped, dtype=jnp.int32)
+    n_damped = len(damped)
+
+    def coefficients(damping) -> jnp.ndarray:
+        coeffs = jnp.broadcast_to(jnp.asarray(damping), (n_damped, 3))
+        dense = jnp.zeros((n_blocks, 3), dtype=coeffs.dtype)
+        return dense.at[damped_idx].add(coeffs)
+
+    return coefficients
+
+
 def build_viscous_damping(
     geometry,
     damped_blocks,

@@ -24,10 +24,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 from difflexmm_tpu.geometry.polygon import compute_inertia
 from difflexmm_tpu.ops.assembly import constrain_energy
 from difflexmm_tpu.ops.kinematics import build_constrained_kinematics
-from difflexmm_tpu.ops.loading import build_loading, build_viscous_damping
+from difflexmm_tpu.ops.loading import (
+    build_damping_coefficients,
+    build_loading,
+    build_viscous_damping,
+)
 from difflexmm_tpu.solver.integrate import integrate
 from difflexmm_tpu.utils.types import ControlParams
 
@@ -64,6 +70,61 @@ def build_RHS(energy_fn: Callable, loading_fn: Callable, free_mask: jnp.ndarray)
         return jnp.stack([velocity * free_mask, acceleration])
 
     return rhs
+
+
+def _integrate_verlet(
+    force_fn: Callable,
+    damping_coeffs_fn: Callable,
+    free_mask: jnp.ndarray,
+    y0: jnp.ndarray,
+    timepoints: jnp.ndarray,
+    control_params: ControlParams,
+    inertia: jnp.ndarray,
+    n_substeps: int,
+    checkpoint: bool,
+) -> jnp.ndarray:
+    """Velocity-Verlet with exact implicit treatment of diagonal damping.
+
+    One force evaluation per step (vs four for RK4), second-order accurate,
+    symplectic on the conservative part. The viscous term -c*v is linear and
+    diagonal, so the velocity update solves it exactly elementwise:
+        v1 (1 + dt c / 2m) = v + dt/2 (a0 + F1/m).
+    This is the default hot path on TPU: per-step op count is what bounds
+    wall-clock at these problem sizes, not FLOPs.
+    """
+
+    c = damping_coeffs_fn(control_params.mechanical_params.damping)
+    lp = control_params.loading_params
+    inv_m = free_mask / inertia  # folds the free-DOF mask into every accel
+
+    def accel(u, v, t):
+        f = force_fn(u, v, t, control_params, lp)
+        return (f - c * v) * inv_m
+
+    def step(carry, t_dt):
+        u, v, a = carry
+        t, dt = t_dt
+        t1 = t + dt
+        u1 = u + dt * v + (0.5 * dt * dt) * a
+        f1 = force_fn(u1, v + dt * a, t1, control_params, lp)
+        v_hat = v + 0.5 * dt * (a + f1 * inv_m)
+        v1 = v_hat / (1.0 + 0.5 * dt * c / inertia)
+        v1 = v1 * free_mask
+        a1 = (f1 - c * v1) * inv_m
+        return (u1, v1, a1), None
+
+    def interval(carry, bounds):
+        t0, t1 = bounds
+        dt = (t1 - t0) / n_substeps
+        ts = t0 + dt * jnp.arange(n_substeps)
+        carry, _ = lax.scan(step, carry, (ts, jnp.full(n_substeps, dt)))
+        return carry, jnp.stack([carry[0], carry[1]])
+
+    seg = jax.checkpoint(interval) if checkpoint else interval
+    u0, v0 = y0[0], y0[1]
+    a0 = accel(u0, v0, timepoints[0])
+    _, ys = lax.scan(seg, (u0, v0, a0), (timepoints[:-1], timepoints[1:]))
+    return jnp.concatenate([y0[None], ys])
 
 
 def _resolve_inertia(control_params: ControlParams) -> jnp.ndarray:
@@ -129,6 +190,21 @@ def setup_dynamic_solver(
 
     rhs = build_RHS(constrained_energy, loading_total, dof_set.free_mask)
 
+    if method == "verlet":
+        potential_force = jax.grad(
+            lambda u, t, cp: -constrained_energy(u, t, cp), argnums=0
+        )
+
+        def verlet_force(u, v, t, control_params, loading_params):
+            f = potential_force(u, t, control_params)
+            return f + _loading((u, v), t, loading_params)
+
+        if damped_blocks is not None:
+            damping_coeffs = build_damping_coefficients(n_blocks, damped_blocks)
+        else:
+            def damping_coeffs(damping):
+                return jnp.zeros((n_blocks, 3))
+
     def _drive_values(t, constraint_params):
         return jnp.broadcast_to(
             jnp.asarray(constrained_DOFs_fn(t, **constraint_params), dtype=float),
@@ -143,17 +219,30 @@ def setup_dynamic_solver(
         inertia = _resolve_inertia(control_params)
         y0 = jnp.asarray(state0) * dof_set.free_mask
 
-        ys = integrate(
-            rhs,
-            y0,
-            timepoints,
-            args=(control_params, inertia),
-            method=method,
-            n_substeps=n_substeps,
-            checkpoint=checkpoint,
-            rtol=rtol,
-            atol=atol,
-        )  # (T, 2, nb, 3)
+        if method == "verlet":
+            ys = _integrate_verlet(
+                verlet_force,
+                damping_coeffs,
+                dof_set.free_mask,
+                y0,
+                timepoints,
+                control_params,
+                inertia,
+                n_substeps,
+                checkpoint,
+            )
+        else:
+            ys = integrate(
+                rhs,
+                y0,
+                timepoints,
+                args=(control_params, inertia),
+                method=method,
+                n_substeps=n_substeps,
+                checkpoint=checkpoint,
+                rtol=rtol,
+                atol=atol,
+            )  # (T, 2, nb, 3)
 
         if dof_set.n_constrained == 0:
             return ys
