@@ -78,11 +78,29 @@ class OptimizationRunnerMixin:
         min_edge_length: Optional[float] = None,
         boundary_angle_constraint: bool = False,
         verbose: bool = True,
+        metrics_logger=None,
+        checkpoint=None,
+        resume: bool = False,
     ):
-        """Constrained inverse design with the on-device MMA optimizer."""
+        """Constrained inverse design with the on-device MMA optimizer.
+
+        Args beyond the optimization setup:
+            metrics_logger: optional utils.observability.MetricsLogger for
+                per-iteration JSONL metrics.
+            checkpoint: optional utils.observability.OptimizationCheckpoint;
+                snapshots the run periodically.
+            resume: restore histories and the initial design from
+                ``checkpoint`` if a snapshot exists.
+        """
 
         if not self.is_setup:
             self.setup_objective()
+
+        if resume and checkpoint is not None and checkpoint.exists():
+            snapshot = checkpoint.restore()
+            initial_guess = snapshot["design"]
+            self.objective_values = list(snapshot["objective_values"])
+            self.design_values = list(snapshot["design_values"])
 
         flat0, unflatten = ravel_pytree(initial_guess)
         objective_and_grad = jax.jit(
@@ -131,6 +149,19 @@ class OptimizationRunnerMixin:
                         float(jnp.max(fi[offset:offset + size]))
                     )
                     offset += size
+            if metrics_logger is not None:
+                metrics_logger.log(
+                    len(self.objective_values),
+                    objective=float(value),
+                    constraint_violation=float(violation),
+                )
+            if checkpoint is not None:
+                checkpoint.save(
+                    len(self.objective_values),
+                    self.design_values[-1],
+                    objective_values=self.objective_values,
+                    design_values=self.design_values,
+                )
             if verbose:
                 print(f"Iteration: {len(self.objective_values)}\n"
                       f"Objective = {self.objective_values[-1]}")

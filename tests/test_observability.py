@@ -1,0 +1,77 @@
+"""Metrics logging, tracing, and checkpoint/resume tests."""
+
+import jax.numpy as jnp
+
+from difflexmm_tpu.utils.observability import (
+    MetricsLogger,
+    OptimizationCheckpoint,
+    trace,
+)
+
+
+def test_metrics_logger_roundtrip(tmp_path):
+    logger = MetricsLogger(tmp_path / "metrics.jsonl")
+    logger.log(1, objective=1.5, grad_norm=0.1)
+    logger.log(2, objective=2.5, note="hello")
+    records = logger.read()
+    assert len(records) == 2
+    assert records[0]["objective"] == 1.5
+    assert records[1]["note"] == "hello"
+    assert all("seconds_since_last" in r for r in records)
+
+
+def test_trace_context(capsys):
+    with trace("phase"):
+        _ = jnp.sum(jnp.arange(10))
+    out = capsys.readouterr().out
+    assert "[trace] phase:" in out
+
+
+def test_checkpoint_save_restore(tmp_path):
+    ckpt = OptimizationCheckpoint(tmp_path / "run.ckpt", every=2)
+    design = {"x": jnp.arange(3.0)}
+    assert not ckpt.save(1, design)          # not due
+    assert ckpt.save(2, design, objective_values=[1.0, 2.0])
+    snapshot = ckpt.restore()
+    assert snapshot["iteration"] == 2
+    assert jnp.allclose(snapshot["design"]["x"], jnp.arange(3.0))
+    assert snapshot["objective_values"] == [1.0, 2.0]
+
+
+def test_checkpoint_resume_in_mma_runner(tmp_path):
+    """A crashed MMA run resumes from its snapshot with histories intact."""
+
+    import jax
+    from difflexmm_tpu.models.quads_focusing import ForwardProblem, OptimizationProblem
+
+    def make_opt():
+        problem = ForwardProblem(
+            n1_blocks=6, n2_blocks=6, spacing=1.0, bond_length=0.1,
+            k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0, damping=0.02,
+            amplitude=0.15, loading_rate=2.0, input_delay=0.0,
+            n_excited_blocks=2, loaded_side="left",
+            simulation_time=2.0, n_timepoints=6, n_substeps=16,
+        )
+        return OptimizationProblem(problem, target_size=(2, 2))
+
+    ckpt = OptimizationCheckpoint(tmp_path / "opt.ckpt", every=1)
+    logger = MetricsLogger(tmp_path / "opt.jsonl")
+
+    opt1 = make_opt()
+    opt1.setup_objective()
+    design0 = opt1.forward_problem.geometry.get_design_from_rotated_square(0.25)
+    opt1.run_optimization_mma(
+        design0, n_iterations=2, lower_bound=-0.3, upper_bound=0.3,
+        verbose=False, metrics_logger=logger, checkpoint=ckpt,
+    )
+    assert len(opt1.objective_values) == 2
+    assert len(logger.read()) == 2
+
+    # "Restart" in a fresh object: histories restored and continued
+    opt2 = make_opt()
+    opt2.setup_objective()
+    opt2.run_optimization_mma(
+        design0, n_iterations=1, lower_bound=-0.3, upper_bound=0.3,
+        verbose=False, checkpoint=ckpt, resume=True,
+    )
+    assert len(opt2.objective_values) == 3  # 2 restored + 1 new
