@@ -48,6 +48,9 @@ def build_flagship():
         simulation_time=20.0,
         n_timepoints=200,
         n_substeps=10,
+        # Fused Pallas Verlet-interval kernel (SoA planes in VMEM); falls
+        # back to the XLA "verlet" path via this field if ever needed.
+        method="verlet_pallas",
     )
     optimization = OptimizationProblem(problem, target_size=(3, 3))
     optimization.setup_objective()

@@ -96,9 +96,11 @@ def signed_angle(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     Inputs (..., 2); output (...) in [-pi, pi].
     """
 
+    from difflexmm_tpu.ops.mathx import arctan2
+
     cross = u1[..., 0] * u2[..., 1] - u1[..., 1] * u2[..., 0]
     dot = u1[..., 0] * u2[..., 0] + u1[..., 1] * u2[..., 1]
-    return jnp.arctan2(cross, dot)
+    return arctan2(cross, dot)
 
 
 def compute_xy_limits(points: jnp.ndarray) -> jnp.ndarray:

@@ -153,6 +153,16 @@ class ForwardProblem:
                 else strain_energy
             )
 
+        quad_grid = (
+            dict(
+                n1=self.n1_blocks,
+                n2=self.n2_blocks,
+                linearized=self.linearized_strains,
+                use_contact=self.use_contact,
+            )
+            if self.method == "verlet_pallas"
+            else None
+        )
         solve_dynamics = setup_dynamic_solver(
             geometry=geometry,
             energy_fn=energy,
@@ -163,6 +173,7 @@ class ForwardProblem:
             n_substeps=self.n_substeps,
             atol=self.atol,
             rtol=self.rtol,
+            quad_grid=quad_grid,
         )
 
         timepoints = jnp.linspace(0.0, self.simulation_time, self.n_timepoints)

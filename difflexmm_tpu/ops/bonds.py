@@ -96,8 +96,10 @@ def ligament_strains(
     pushed_x = c * r0x - s * r0y
     pushed_y = s * r0x + c * r0y
 
+    from difflexmm_tpu.ops.mathx import arctan2
+
     axial = jnp.sqrt(vdot(r, r) / vdot(reference_vector, reference_vector)) - 1.0
-    shear = jnp.arctan2(
+    shear = arctan2(
         pushed_x * r[..., 1] - pushed_y * r[..., 0],
         pushed_x * r[..., 0] + pushed_y * r[..., 1],
     )

@@ -42,6 +42,106 @@ def _grid_bond_params(value, n1: int, n2: int):
     return horizontal, vertical
 
 
+def quad_grid_energy_core(
+    block_displacement: jnp.ndarray,
+    cnv: jnp.ndarray,
+    block_centroids: jnp.ndarray,
+    ref_h, ref_v,
+    ks_h, ks_v, ksh_h, ksh_v, kr_h, kr_v,
+    contact_min, contact_cutoff, k_contact,
+    n1: int, n2: int,
+    bond_energy_fn: Callable = ligament_energy,
+    use_contact: bool = True,
+    angle_based: bool = True,
+):
+    """Pure positional gridded energy (shared by the XLA path and the
+    Pallas kernel, which cannot take parameter pytrees)."""
+
+    node_DOFs = block_to_node_kinematics(block_displacement, cnv).reshape(
+        n2, n1, 4, 3
+    )
+
+    # --- bonds as shifted slices ------------------------------------
+    h1 = node_DOFs[:, :-1, 0, :]
+    h2 = node_DOFs[:, 1:, 2, :]
+    v1 = node_DOFs[:-1, :, 1, :]
+    v2 = node_DOFs[1:, :, 3, :]
+
+    strain = jnp.sum(
+        bond_energy_fn((h1, h2), reference_vector=ref_h,
+                       k_stretch=ks_h, k_shear=ksh_h, k_rot=kr_h)
+    ) + jnp.sum(
+        bond_energy_fn((v1, v2), reference_vector=ref_v,
+                       k_stretch=ks_v, k_shear=ksh_v, k_rot=kr_v)
+    )
+
+    if not use_contact:
+        return strain
+
+    # --- contact on the same slices ----------------------------------
+    positions = (
+        block_centroids[:, None] + cnv
+    ).reshape(n2, n1, 4, 2) + node_DOFs[..., :2]
+
+    def corner_edges(p_block, corner):
+        node = p_block[..., corner, :]
+        e_next = p_block[..., (corner + 1) % 4, :] - node
+        e_prev = p_block[..., (corner - 1) % 4, :] - node
+        return e_next, e_prev, node
+
+    def gaps(p1_block, c1, p2_block, c2):
+        """Void angles (or edge distances) at bonds joining corner c1 of
+        the first block set to corner c2 of the second."""
+
+        e1_next, e1_prev, node1 = corner_edges(p1_block, c1)
+        e2_next, e2_prev, node2 = corner_edges(p2_block, c2)
+        if angle_based:
+            void_1 = signed_angle(_unit(e2_prev), _unit(e1_next))
+            void_2 = signed_angle(_unit(e1_prev), _unit(e2_next))
+        else:
+            void_1 = edges_distance(
+                jnp.stack([node1, node1 + e1_next], axis=-2),
+                jnp.stack([node2, node2 + e2_prev], axis=-2),
+            )
+            void_2 = edges_distance(
+                jnp.stack([node1, node1 + e1_prev], axis=-2),
+                jnp.stack([node2, node2 + e2_next], axis=-2),
+            )
+        return void_1, void_2
+
+    vh1, vh2 = gaps(positions[:, :-1], 0, positions[:, 1:], 2)
+    vv1, vv2 = gaps(positions[:-1, :], 1, positions[1:, :], 3)
+
+    contact = sum(
+        jnp.sum(
+            contact_energy(
+                g, min_angle=contact_min, cutoff_angle=contact_cutoff,
+                k_contact=k_contact,
+            )
+        )
+        for g in (vh1, vh2, vv1, vv2)
+    )
+    return strain + contact
+
+
+def split_grid_bond_data(bond_params, n1: int, n2: int):
+    """(ref_h, ref_v, ks_h, ks_v, ksh_h, ksh_v, kr_h, kr_v) grids from a
+    LigamentParams pytree with general-connectivity bond ordering."""
+
+    n_h = (n1 - 1) * n2
+    ref = jnp.asarray(bond_params.reference_vector)
+    if ref.ndim == 1:
+        ref_h = ref
+        ref_v = ref
+    else:
+        ref_h = ref[:n_h].reshape(n2, n1 - 1, 2)
+        ref_v = ref[n_h:].reshape(n2 - 1, n1, 2)
+    ks_h, ks_v = _grid_bond_params(bond_params.k_stretch, n1, n2)
+    ksh_h, ksh_v = _grid_bond_params(bond_params.k_shear, n1, n2)
+    kr_h, kr_v = _grid_bond_params(bond_params.k_rot, n1, n2)
+    return ref_h, ref_v, ks_h, ks_v, ksh_h, ksh_v, kr_h, kr_v
+
+
 def build_quad_grid_energy(
     n1_blocks: int,
     n2_blocks: int,
@@ -57,90 +157,28 @@ def build_quad_grid_energy(
     """
 
     n1, n2 = n1_blocks, n2_blocks
-    n_h = (n1 - 1) * n2
 
     def energy_fn(block_displacement: jnp.ndarray, control_params: ControlParams):
         gp = control_params.geometrical_params
-        bp = control_params.mechanical_params.bond_params
-        cnv = gp.centroid_node_vectors  # (nb, 4, 2)
-
-        node_DOFs = block_to_node_kinematics(block_displacement, cnv).reshape(
-            n2, n1, 4, 3
-        )
-
-        # --- bonds as shifted slices ------------------------------------
-        h1 = node_DOFs[:, :-1, 0, :]
-        h2 = node_DOFs[:, 1:, 2, :]
-        v1 = node_DOFs[:-1, :, 1, :]
-        v2 = node_DOFs[1:, :, 3, :]
-
-        ref = jnp.asarray(bp.reference_vector)
-        if ref.ndim == 1:
-            ref_h = ref
-            ref_v = ref
+        mp = control_params.mechanical_params
+        bond_data = split_grid_bond_data(mp.bond_params, n1, n2)
+        contact_on = use_contact and mp.contact_params is not None
+        if contact_on:
+            cmin = mp.contact_params.min_angle
+            ccut = mp.contact_params.cutoff_angle
+            kc = mp.contact_params.k_contact
         else:
-            ref_h = ref[:n_h].reshape(n2, n1 - 1, 2)
-            ref_v = ref[n_h:].reshape(n2 - 1, n1, 2)
-
-        ks_h, ks_v = _grid_bond_params(bp.k_stretch, n1, n2)
-        ksh_h, ksh_v = _grid_bond_params(bp.k_shear, n1, n2)
-        kr_h, kr_v = _grid_bond_params(bp.k_rot, n1, n2)
-
-        strain = jnp.sum(
-            bond_energy_fn((h1, h2), reference_vector=ref_h,
-                           k_stretch=ks_h, k_shear=ksh_h, k_rot=kr_h)
-        ) + jnp.sum(
-            bond_energy_fn((v1, v2), reference_vector=ref_v,
-                           k_stretch=ks_v, k_shear=ksh_v, k_rot=kr_v)
+            cmin = ccut = kc = 0.0
+        return quad_grid_energy_core(
+            block_displacement,
+            gp.centroid_node_vectors,
+            gp.block_centroids,
+            *bond_data,
+            cmin, ccut, kc,
+            n1, n2,
+            bond_energy_fn=bond_energy_fn,
+            use_contact=contact_on,
+            angle_based=angle_based,
         )
-
-        if not use_contact or control_params.mechanical_params.contact_params is None:
-            return strain
-
-        # --- contact on the same slices ----------------------------------
-        cp = control_params.mechanical_params.contact_params
-        positions = (
-            gp.block_centroids[:, None] + cnv
-        ).reshape(n2, n1, 4, 2) + node_DOFs[..., :2]
-
-        def corner_edges(p_block, corner):
-            node = p_block[..., corner, :]
-            e_next = p_block[..., (corner + 1) % 4, :] - node
-            e_prev = p_block[..., (corner - 1) % 4, :] - node
-            return e_next, e_prev, node
-
-        def gaps(p1_block, c1, p2_block, c2):
-            """Void angles (or edge distances) at bonds joining corner c1 of
-            the first block set to corner c2 of the second."""
-
-            e1_next, e1_prev, node1 = corner_edges(p1_block, c1)
-            e2_next, e2_prev, node2 = corner_edges(p2_block, c2)
-            if angle_based:
-                void_1 = signed_angle(_unit(e2_prev), _unit(e1_next))
-                void_2 = signed_angle(_unit(e1_prev), _unit(e2_next))
-            else:
-                void_1 = edges_distance(
-                    jnp.stack([node1, node1 + e1_next], axis=-2),
-                    jnp.stack([node2, node2 + e2_prev], axis=-2),
-                )
-                void_2 = edges_distance(
-                    jnp.stack([node1, node1 + e1_prev], axis=-2),
-                    jnp.stack([node2, node2 + e2_next], axis=-2),
-                )
-            return void_1, void_2
-
-        vh1, vh2 = gaps(positions[:, :-1], 0, positions[:, 1:], 2)
-        vv1, vv2 = gaps(positions[:-1, :], 1, positions[1:, :], 3)
-
-        contact = sum(
-            jnp.sum(
-                contact_energy(
-                    g, min_angle=cp.min_angle, cutoff_angle=cp.cutoff_angle,
-                    k_contact=cp.k_contact,
-                )
-            )
-            for g in (vh1, vh2, vv1, vv2)
-        )
-        return strain + contact
 
     return energy_fn

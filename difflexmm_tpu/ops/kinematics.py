@@ -35,8 +35,10 @@ def block_to_node_kinematics(
         (..., n_blocks, V, 3).
     """
 
-    u = block_displacement[..., :, None, :2]  # (..., nb, 1, 2)
-    theta = block_displacement[..., :, None, 2]  # (..., nb, 1)
+    # Slice then expand_dims (not fused fancy indexing, which lowers to a
+    # gather op that Pallas/Mosaic cannot compile).
+    u = jnp.expand_dims(block_displacement[..., :2], -2)  # (..., nb, 1, 2)
+    theta = block_displacement[..., 2:3]  # (..., nb, 1)
     cm1 = jnp.cos(theta) - 1.0
     s = jnp.sin(theta)
     vx = centroid_node_vectors[..., 0]  # (nb, V)

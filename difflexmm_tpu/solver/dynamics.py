@@ -149,6 +149,8 @@ def setup_dynamic_solver(
     method: str = "rk4",
     n_substeps: int = 64,
     checkpoint: bool = True,
+    quad_grid: Optional[dict] = None,
+    pallas_interpret: bool = False,
 ):
     """Set up the dynamic solver.
 
@@ -158,9 +160,16 @@ def setup_dynamic_solver(
     in ``control_params`` and ``state0``.
 
     Args beyond the reference's (difflexmm/dynamics.py:60-88):
-        method: "rk4" (default), "semi_implicit", or "odeint".
+        method: "rk4" (default), "verlet", "semi_implicit", "odeint", or
+            "verlet_pallas" (fused Pallas interval kernel; quad lattices).
         n_substeps: fixed integration steps per output interval.
         checkpoint: rematerialized backward pass over intervals.
+        quad_grid: required for "verlet_pallas": dict with n1, n2,
+            bond_energy_fn, and optional use_contact/angle_based; the
+            energy is then the gridded quad energy (energy_fn is ignored
+            in the hot loop but still used for diagnostics).
+        pallas_interpret: run the Pallas kernel in interpreter mode
+            (debugging / CPU test parity).
     """
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
@@ -211,6 +220,129 @@ def setup_dynamic_solver(
             (dof_set.n_constrained,),
         )
 
+    if method == "verlet_pallas":
+        if quad_grid is None:
+            raise ValueError(
+                "method='verlet_pallas' requires quad_grid={'n1':..., 'n2':..., "
+                "'bond_energy_fn':...}."
+            )
+        if loaded_block_DOF_pairs is not None and loading_fn is not None:
+            raise NotImplementedError(
+                "verlet_pallas supports driven constraints + damping; "
+                "force loading is not fused yet — use method='verlet'."
+            )
+        from difflexmm_tpu.ops.grid import split_grid_bond_data
+        from difflexmm_tpu.ops.pallas.verlet_grid import (
+            build_pallas_verlet_interval,
+            cnv_to_planes,
+            from_planes,
+            normalize_arrays,
+            scatter_matrix_planes,
+            to_planes,
+        )
+
+        g_n1, g_n2 = quad_grid["n1"], quad_grid["n2"]
+        g_linearized = quad_grid.get("linearized", False)
+        g_contact = quad_grid.get("use_contact", True)
+        S = scatter_matrix_planes(
+            g_n1, g_n2, dof_set.constrained_blocks, dof_set.constrained_dofs
+        )
+        if damped_blocks is not None:
+            _p_damping_coeffs = build_damping_coefficients(n_blocks, damped_blocks)
+        else:
+            def _p_damping_coeffs(damping):
+                return jnp.zeros((n_blocks, 3))
+
+        _interval_cache = {}
+
+        def _pallas_interval_for(keys, example_drive_args, dtype):
+            """Interval fn for a given constraint-params key set.
+
+            The user drive closure may capture constant arrays (e.g. the
+            drive scatter vector); Pallas kernels cannot capture constants,
+            so ``jax.closure_convert`` hoists them into explicit arguments
+            appended after the drive args.
+            """
+
+            if keys not in _interval_cache:
+                def raw_drive(t, *args):
+                    # Drive args arrive Pallas-shaped ((1,1) scalars);
+                    # flatten before broadcasting to the pair count.
+                    values = jnp.asarray(
+                        constrained_DOFs_fn(t, **dict(zip(keys, args)))
+                    ).reshape(-1)
+                    return jnp.broadcast_to(
+                        values, (max(dof_set.n_constrained, 1),)
+                    )
+
+                # Hoist every closed-over constant of the user drive (e.g.
+                # its drive scatter vector) into explicit kernel inputs by
+                # re-evaluating its jaxpr with the consts as arguments.
+                closed = jax.make_jaxpr(raw_drive)(
+                    jnp.zeros((), dtype), *example_drive_args
+                )
+                n_user_args = 1 + len(example_drive_args)
+
+                def converted(t, *all_args):
+                    args = all_args[: n_user_args - 1]
+                    hoisted = all_args[n_user_args - 1:]
+                    (out,) = jax.core.eval_jaxpr(
+                        closed.jaxpr, hoisted, t, *args
+                    )
+                    return out
+
+                consts = tuple(
+                    jnp.asarray(c, dtype)
+                    if jnp.issubdtype(jnp.asarray(c).dtype, jnp.floating)
+                    else jnp.asarray(c)
+                    for c in closed.consts
+                )
+                interval = build_pallas_verlet_interval(
+                    g_n1, g_n2, n_substeps, converted,
+                    linearized=g_linearized, use_contact=g_contact,
+                    interpret=pallas_interpret,
+                )
+                _interval_cache[keys] = (interval, consts)
+            return _interval_cache[keys]
+
+        def _pallas_arrays(control_params, inertia, dtype):
+            mp = control_params.mechanical_params
+            gp = control_params.geometrical_params
+            (ref_h, ref_v, ks_h, ks_v, ksh_h, ksh_v, kr_h, kr_v) = (
+                split_grid_bond_data(mp.bond_params, g_n1, g_n2)
+            )
+
+            def ref_planes(ref, shape):
+                ref = jnp.asarray(ref)
+                if ref.ndim == 1:  # one shared (2,) reference vector
+                    return jnp.broadcast_to(
+                        ref[:, None, None], (2,) + shape
+                    )
+                return jnp.moveaxis(ref, -1, 0)  # (n2, n?, 2) -> (2, n2, n?)
+
+            contact_on = g_contact and mp.contact_params is not None
+            if contact_on:
+                cmin = mp.contact_params.min_angle
+                ccut = mp.contact_params.cutoff_angle
+                kc = mp.contact_params.k_contact
+            else:
+                cmin, ccut, kc = 0.0, 1.0, 0.0
+            keys = tuple(sorted(control_params.constraint_params.keys()))
+            drive_args = [control_params.constraint_params[k] for k in keys]
+            fixed = (
+                cnv_to_planes(gp.centroid_node_vectors, g_n1, g_n2),
+                to_planes(gp.block_centroids, g_n1, g_n2),
+                ref_planes(ref_h, (g_n2, g_n1 - 1)),
+                ref_planes(ref_v, (g_n2 - 1, g_n1)),
+                ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
+                cmin, ccut, kc,
+                to_planes(inertia, g_n1, g_n2),
+                to_planes(_p_damping_coeffs(mp.damping), g_n1, g_n2),
+                to_planes(dof_set.free_mask, g_n1, g_n2),
+                S,
+            )
+            return keys, normalize_arrays(fixed, drive_args, dtype)
+
     def solve_dynamics(
         state0: jnp.ndarray, timepoints: jnp.ndarray, control_params: ControlParams
     ) -> jnp.ndarray:
@@ -219,7 +351,35 @@ def setup_dynamic_solver(
         inertia = _resolve_inertia(control_params)
         y0 = jnp.asarray(state0) * dof_set.free_mask
 
-        if method == "verlet":
+        if method == "verlet_pallas":
+            keys, arrays = _pallas_arrays(control_params, inertia, y0.dtype)
+            interval, drive_consts = _pallas_interval_for(
+                keys, arrays[-1], y0.dtype
+            )
+            arrays = arrays[:-1] + (arrays[-1] + drive_consts,)
+            U0 = to_planes(y0[0], g_n1, g_n2)
+            V0 = to_planes(y0[1], g_n1, g_n2)
+            inertia_p = arrays[13]
+            damping_c = arrays[14]
+            mask_p = arrays[15]
+            inv_m = mask_p / inertia_p
+            F0 = interval.force_fn(U0, timepoints[0], arrays)
+            A0 = (F0 - damping_c * V0) * inv_m
+
+            def seg(carry, bounds):
+                t0, t1 = bounds
+                carry = interval(carry, t0, (t1 - t0) / n_substeps, arrays)
+                return carry, jnp.stack([carry[0], carry[1]])
+
+            _, out = jax.lax.scan(
+                seg, (U0, V0, A0), (timepoints[:-1], timepoints[1:])
+            )  # (T-1, 2, 3, n2, n1)
+            # planes -> (T-1, 2, nb, 3)
+            out = jnp.moveaxis(out, 2, -1).reshape(
+                out.shape[0], 2, n_blocks, 3
+            )
+            ys = jnp.concatenate([y0[None], out])
+        elif method == "verlet":
             ys = _integrate_verlet(
                 verlet_force,
                 damping_coeffs,
