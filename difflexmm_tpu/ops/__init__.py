@@ -27,6 +27,11 @@ from difflexmm_tpu.ops.kinematics import (  # noqa: F401
     build_constrained_kinematics,
     current_node_positions,
 )
+from difflexmm_tpu.ops.grid import build_quad_grid_energy  # noqa: F401
+from difflexmm_tpu.ops.magnetic import (  # noqa: F401
+    build_magnetic_energy,
+    magnetic_dipole_energy,
+)
 from difflexmm_tpu.ops.loading import (  # noqa: F401
     build_loading,
     build_node_loading,
