@@ -21,11 +21,18 @@ import jax.numpy as jnp
 BASELINE_SECONDS_PER_ITERATION = 360.0
 
 
-def build_flagship():
+def build_flagship(method=None):
     from difflexmm_tpu.models.quads_focusing import (
         ForwardProblem,
         OptimizationProblem,
     )
+
+    if method is None:
+        # Compiled Pallas kernels need a real TPU; elsewhere (e.g. a CPU
+        # compile check) the XLA verlet path is the drop-in equivalent.
+        method = (
+            "verlet_pallas" if jax.default_backend() == "tpu" else "verlet"
+        )
 
     problem = ForwardProblem(
         n1_blocks=24,
@@ -48,9 +55,7 @@ def build_flagship():
         simulation_time=20.0,
         n_timepoints=200,
         n_substeps=10,
-        # Fused Pallas Verlet-interval kernel (SoA planes in VMEM); falls
-        # back to the XLA "verlet" path via this field if ever needed.
-        method="verlet_pallas",
+        method=method,
     )
     optimization = OptimizationProblem(problem, target_size=(3, 3))
     optimization.setup_objective()

@@ -319,3 +319,129 @@ def build_pallas_verlet_interval(
         n1, n2, linearized, use_contact, drive_values_fn
     )
     return interval
+
+
+def build_pallas_verlet_trajectory(
+    n1: int,
+    n2: int,
+    n_substeps: int,
+    n_timepoints: int,
+    drive_values_fn: Callable,
+    linearized: bool = False,
+    use_contact: bool = True,
+    interpret: bool = False,
+):
+    """Whole-trajectory fused kernel: every interval of every output step in
+    ONE Pallas program, writing interval-boundary states into VMEM outputs.
+
+    Eliminates the ~200 us/interval launch + scan-stacking overhead of the
+    per-interval kernel (the in-kernel substep costs ~1.5 us). Returns
+
+        trajectory(carry0, timepoints, arrays) -> (outU, outV, outA)
+
+    with each output (T-1, 3, n2, n1). Reverse-mode is a hand-written scan
+    transpose: the stored interval-boundary states are exact checkpoints, so
+    the backward replays one interval at a time through the XLA body's vjp
+    (same memory profile as jax.checkpoint, no full-trajectory recompute).
+    """
+
+    T = n_timepoints
+    body = make_interval_body(
+        n1, n2, n_substeps, linearized, use_contact, drive_values_fn
+    )
+
+    def kernel(*refs):
+        U0_ref, V0_ref, A0_ref, ts_ref = refs[:4]
+        array_refs = refs[4:-3]
+        outU_ref, outV_ref, outA_ref = refs[-3:]
+        loaded = [r[:] for r in array_refs]
+        arrays = tuple(loaded[:N_FIXED_ARRAYS]) + (
+            tuple(loaded[N_FIXED_ARRAYS:]),
+        )
+
+        with mathx.pallas_math():
+            def interval(k, carry):
+                U, V, A = carry
+                t0 = ts_ref[k, 0]
+                t1 = ts_ref[k + 1, 0]
+                U, V, A = body(U, V, A, t0, (t1 - t0) / n_substeps, arrays)
+                outU_ref[k] = U
+                outV_ref[k] = V
+                outA_ref[k] = A
+                return U, V, A
+
+            lax.fori_loop(
+                0, T - 1, interval, (U0_ref[:], V0_ref[:], A0_ref[:])
+            )
+
+    def pallas_forward(carry, timepoints, arrays):
+        U0, V0, A0 = carry
+        *fixed, drive_args = arrays
+        flat_arrays = list(fixed) + list(drive_args)
+        out_shape = jax.ShapeDtypeStruct((T - 1,) + U0.shape, U0.dtype)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=(out_shape,) * 3,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (4 + len(flat_arrays)),
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)),
+            interpret=interpret,
+        )(U0, V0, A0, timepoints.astype(U0.dtype).reshape(T, 1), *flat_arrays)
+        return tuple(outs)
+
+    def xla_interval_t(carry, t0, t1, arrays):
+        return body(carry[0], carry[1], carry[2], t0, (t1 - t0) / n_substeps, arrays)
+
+    @jax.custom_vjp
+    def trajectory(carry, timepoints, arrays):
+        return pallas_forward(carry, timepoints, arrays)
+
+    def trajectory_fwd(carry, timepoints, arrays):
+        outs = pallas_forward(carry, timepoints, arrays)
+        return outs, (carry, timepoints, arrays, outs)
+
+    def trajectory_bwd(residuals, cotangents):
+        carry0, timepoints, arrays, outs = residuals
+        gU, gV, gA = cotangents
+        outU, outV, outA = outs
+        # Interval-input states: carry0 then the stored boundary states.
+        cinU = jnp.concatenate([carry0[0][None], outU[:-1]])
+        cinV = jnp.concatenate([carry0[1][None], outV[:-1]])
+        cinA = jnp.concatenate([carry0[2][None], outA[:-1]])
+
+        zero_arrays = jax.tree.map(jnp.zeros_like, arrays)
+
+        def rev_step(acc, xs):
+            cbar, d_arrays, d_ts = acc
+            k, cU, cV, cA, t0, t1, gUk, gVk, gAk = xs
+            cot = (cbar[0] + gUk, cbar[1] + gVk, cbar[2] + gAk)
+            _, vjp = jax.vjp(
+                lambda c, a, b, arr: xla_interval_t(c, a, b, arr),
+                (cU, cV, cA), t0, t1, arrays,
+            )
+            d_cin, d_t0, d_t1, d_arr = vjp(cot)
+            d_arrays = jax.tree.map(jnp.add, d_arrays, d_arr)
+            d_ts = d_ts.at[k].add(d_t0).at[k + 1].add(d_t1)
+            return (d_cin, d_arrays, d_ts), None
+
+        n_int = T - 1
+        ks = jnp.arange(n_int)
+        init = (
+            (jnp.zeros_like(carry0[0]),) * 3,
+            zero_arrays,
+            jnp.zeros_like(timepoints),
+        )
+        (d_carry0, d_arrays, d_ts), _ = lax.scan(
+            rev_step,
+            init,
+            (ks, cinU, cinV, cinA, timepoints[:-1], timepoints[1:], gU, gV, gA),
+            reverse=True,
+        )
+        return d_carry0, d_ts, d_arrays
+
+    trajectory.defvjp(trajectory_fwd, trajectory_bwd)
+    trajectory.xla_interval = xla_interval_t
+    trajectory.force_fn = make_force_fn(
+        n1, n2, linearized, use_contact, drive_values_fn
+    )
+    return trajectory

@@ -233,7 +233,7 @@ def setup_dynamic_solver(
             )
         from difflexmm_tpu.ops.grid import split_grid_bond_data
         from difflexmm_tpu.ops.pallas.verlet_grid import (
-            build_pallas_verlet_interval,
+            build_pallas_verlet_trajectory,
             cnv_to_planes,
             from_planes,
             normalize_arrays,
@@ -255,8 +255,9 @@ def setup_dynamic_solver(
 
         _interval_cache = {}
 
-        def _pallas_interval_for(keys, example_drive_args, dtype):
-            """Interval fn for a given constraint-params key set.
+        def _pallas_trajectory_for(keys, n_timepoints, example_drive_args, dtype):
+            """Whole-trajectory kernel for a given constraint-params key set
+            and output-grid length (cache key includes both).
 
             The user drive closure may capture constant arrays (e.g. the
             drive scatter vector); Pallas kernels cannot capture constants,
@@ -264,7 +265,8 @@ def setup_dynamic_solver(
             appended after the drive args.
             """
 
-            if keys not in _interval_cache:
+            cache_key = (keys, n_timepoints)
+            if cache_key not in _interval_cache:
                 def raw_drive(t, *args):
                     # Drive args arrive Pallas-shaped ((1,1) scalars);
                     # flatten before broadcasting to the pair count.
@@ -297,13 +299,13 @@ def setup_dynamic_solver(
                     else jnp.asarray(c)
                     for c in closed.consts
                 )
-                interval = build_pallas_verlet_interval(
-                    g_n1, g_n2, n_substeps, converted,
+                trajectory = build_pallas_verlet_trajectory(
+                    g_n1, g_n2, n_substeps, n_timepoints, converted,
                     linearized=g_linearized, use_contact=g_contact,
                     interpret=pallas_interpret,
                 )
-                _interval_cache[keys] = (interval, consts)
-            return _interval_cache[keys]
+                _interval_cache[cache_key] = (trajectory, consts)
+            return _interval_cache[cache_key]
 
         def _pallas_arrays(control_params, inertia, dtype):
             mp = control_params.mechanical_params
@@ -353,8 +355,8 @@ def setup_dynamic_solver(
 
         if method == "verlet_pallas":
             keys, arrays = _pallas_arrays(control_params, inertia, y0.dtype)
-            interval, drive_consts = _pallas_interval_for(
-                keys, arrays[-1], y0.dtype
+            trajectory, drive_consts = _pallas_trajectory_for(
+                keys, len(timepoints), arrays[-1], y0.dtype
             )
             arrays = arrays[:-1] + (arrays[-1] + drive_consts,)
             U0 = to_planes(y0[0], g_n1, g_n2)
@@ -363,17 +365,11 @@ def setup_dynamic_solver(
             damping_c = arrays[14]
             mask_p = arrays[15]
             inv_m = mask_p / inertia_p
-            F0 = interval.force_fn(U0, timepoints[0], arrays)
+            F0 = trajectory.force_fn(U0, timepoints[0], arrays)
             A0 = (F0 - damping_c * V0) * inv_m
 
-            def seg(carry, bounds):
-                t0, t1 = bounds
-                carry = interval(carry, t0, (t1 - t0) / n_substeps, arrays)
-                return carry, jnp.stack([carry[0], carry[1]])
-
-            _, out = jax.lax.scan(
-                seg, (U0, V0, A0), (timepoints[:-1], timepoints[1:])
-            )  # (T-1, 2, 3, n2, n1)
+            outU, outV, _ = trajectory((U0, V0, A0), timepoints, arrays)
+            out = jnp.stack([outU, outV], axis=1)  # (T-1, 2, 3, n2, n1)
             # planes -> (T-1, 2, nb, 3)
             out = jnp.moveaxis(out, 2, -1).reshape(
                 out.shape[0], 2, n_blocks, 3
