@@ -81,6 +81,7 @@ class OptimizationRunnerMixin:
         metrics_logger=None,
         checkpoint=None,
         resume: bool = False,
+        move_limit: float = 0.2,
     ):
         """Constrained inverse design with the on-device MMA optimizer.
 
@@ -91,6 +92,11 @@ class OptimizationRunnerMixin:
                 snapshots the run periodically.
             resume: restore histories and the initial design from
                 ``checkpoint`` if a snapshot exists.
+            move_limit: MMA per-iteration step cap as a fraction of the
+                bound span. The default is conservative (0.2 vs Svanberg's
+                0.5) because fixed-step dynamics have a design-dependent
+                stability region; run_mma additionally backtracks if an
+                iterate produces a non-finite objective.
         """
 
         if not self.is_setup:
@@ -175,6 +181,7 @@ class OptimizationRunnerMixin:
             constraints_and_jac=constraints_and_jac,
             maximize=True,
             callback=callback,
+            move_limit=move_limit,
         )
         self.compute_best_forward()
         return unflatten(x_final)

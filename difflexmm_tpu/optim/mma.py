@@ -129,6 +129,7 @@ def mma_update(
     xmax: jnp.ndarray,
     n_dual_iters: int = 100,
     lam_max: float = 1e4,
+    move_limit: float = _MOVE,
 ) -> MMAState:
     """One MMA design update (minimization form).
 
@@ -138,6 +139,10 @@ def mma_update(
         fi: (m,) constraint values (feasible iff <= 0), or None.
         dfi: (m, n) constraint jacobian, or None.
         xmin/xmax: (n,) bounds.
+        move_limit: per-iteration step cap as a fraction of the bound span
+            (Svanberg's 0.5 default). Lower it (0.05-0.2) when the objective
+            is only valid near the current iterate — e.g. fixed-step
+            dynamics whose stability region depends on the design.
 
     Returns:
         Updated state with the new iterate in ``.x``.
@@ -150,8 +155,8 @@ def mma_update(
     x_l = x - low
     span = jnp.maximum(xmax - xmin, _RAAMIN)
 
-    alpha = jnp.maximum(xmin, jnp.maximum(low + _ALBEFA * x_l, x - _MOVE * span))
-    beta = jnp.minimum(xmax, jnp.minimum(upp - _ALBEFA * u_x, x + _MOVE * span))
+    alpha = jnp.maximum(xmin, jnp.maximum(low + _ALBEFA * x_l, x - move_limit * span))
+    beta = jnp.minimum(xmax, jnp.minimum(upp - _ALBEFA * u_x, x + move_limit * span))
 
     eps_term = 1e-5 / span
     p0 = u_x**2 * (jnp.maximum(df0, 0) + 1e-3 * jnp.maximum(-df0, 0) + eps_term)
@@ -188,6 +193,8 @@ def run_mma(
     maximize: bool = False,
     callback: Optional[Callable] = None,
     n_dual_iters: int = 100,
+    move_limit: float = _MOVE,
+    max_backtracks: int = 8,
 ):
     """Run an MMA optimization loop on flat design vectors.
 
@@ -199,6 +206,11 @@ def run_mma(
             feasibility fi <= 0.
         maximize: maximize instead of minimize.
         callback: ``callback(iteration, x, value, fi)`` per iteration.
+        move_limit: per-iteration step cap (fraction of bound span).
+        max_backtracks: if the objective or gradient at a new iterate is
+            non-finite (e.g. the design left the solver's stability region),
+            bisect back toward the last finite iterate up to this many times
+            before giving up.
 
     Returns:
         (x_best_last, history dict with per-iteration objective values,
@@ -212,17 +224,37 @@ def run_mma(
     update = jax.jit(
         lambda s, g, fi, dfi: mma_update(
             s, g, fi, dfi, jnp.asarray(xmin), jnp.asarray(xmax),
-            n_dual_iters=n_dual_iters,
+            n_dual_iters=n_dual_iters, move_limit=move_limit,
         )
     ) if constraints_and_jac is not None else jax.jit(
         lambda s, g: mma_update(
             s, g, None, None, jnp.asarray(xmin), jnp.asarray(xmax),
-            n_dual_iters=n_dual_iters,
+            n_dual_iters=n_dual_iters, move_limit=move_limit,
         )
     )
 
+    def evaluate(x):
+        value, grad = objective_and_grad(x)
+        finite = bool(jnp.isfinite(value)) and bool(jnp.all(jnp.isfinite(grad)))
+        return value, grad, finite
+
     for it in range(n_iterations):
-        value, grad = objective_and_grad(state.x)
+        value, grad, finite = evaluate(state.x)
+        backtracks = 0
+        while not finite and backtracks < max_backtracks and it > 0:
+            # The step left the region where the objective is computable
+            # (e.g. fixed-step solver instability). Bisect toward the last
+            # finite iterate.
+            state = state._replace(x=(state.x + state.x_prev1) / 2)
+            value, grad, finite = evaluate(state.x)
+            backtracks += 1
+        if not finite:
+            raise FloatingPointError(
+                f"MMA iteration {it}: objective/gradient non-finite after "
+                f"{backtracks} backtracks. Check solver stability (substeps) "
+                f"for designs within the bounds, or lower move_limit."
+            )
+
         if constraints_and_jac is not None:
             fi, dfi = constraints_and_jac(state.x)
             state = update(state, sign * grad, fi, dfi)
