@@ -5,6 +5,11 @@ from difflexmm_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     scenario_sharding,
 )
+from difflexmm_tpu.parallel.multistart import (  # noqa: F401
+    MultistartResult,
+    random_initial_designs,
+    run_multistart_optax,
+)
 from difflexmm_tpu.parallel.scenarios import (  # noqa: F401
     multistart_map,
     scenario_parallel_objective,
