@@ -233,7 +233,7 @@ class ForwardProblem(_CharacterizationForwardMixin):
 
     solution_data: Optional[Union[SolutionType, List[SolutionType]]] = None
 
-    method: str = "rk4"
+    method: str = "verlet"
     n_substeps: int = 32
     atol: float = 1e-8
     rtol: float = 1e-8
@@ -294,7 +294,7 @@ class ForwardProblemQuads(_CharacterizationForwardMixin):
 
     solution_data: Optional[Union[SolutionType, List[SolutionType]]] = None
 
-    method: str = "rk4"
+    method: str = "verlet"
     n_substeps: int = 32
     atol: float = 1e-8
     rtol: float = 1e-8

@@ -23,6 +23,7 @@ from difflexmm_tpu.models.runner import OptimizationRunnerMixin
 from difflexmm_tpu.ops.assembly import build_strain_energy, combine_block_energies
 from difflexmm_tpu.ops.bonds import ligament_energy, ligament_energy_linearized
 from difflexmm_tpu.ops.contact import build_contact_energy
+from difflexmm_tpu.ops.kagome_grid import build_kagome_grid_energy
 from difflexmm_tpu.ops.observables import kinetic_energy
 from difflexmm_tpu.solver.dynamics import setup_dynamic_solver
 from difflexmm_tpu.utils.types import (
@@ -100,9 +101,13 @@ class ForwardProblem:
 
     n_blocks_clamped_corner: int = 2
 
+    # Gather-free (n2, n1) cell-grid energy assembly (ops/kagome_grid.py);
+    # bit-identical to the general path, faster on TPU.
+    grid_energy: bool = True
+
     solution_data: Optional[Union[SolutionType, List[SolutionType]]] = None
 
-    method: str = "rk4"
+    method: str = "verlet"
     n_substeps: int = 20
     atol: float = 1e-8
     rtol: float = 1e-8
@@ -152,15 +157,21 @@ class ForwardProblem:
             def constrained_DOFs_fn(t, **kwargs):
                 return excited_blocks_fn(t) * drive_vector
 
-        strain_energy = build_strain_energy(
-            bonds,
-            ligament_energy_linearized if self.linearized_strains else ligament_energy,
+        bond_energy_fn = (
+            ligament_energy_linearized if self.linearized_strains else ligament_energy
         )
-        energy = (
-            combine_block_energies(strain_energy, build_contact_energy(bonds))
-            if self.use_contact
-            else strain_energy
-        )
+        if self.grid_energy:
+            energy = build_kagome_grid_energy(
+                self.n1_cells, self.n2_cells, bond_energy_fn,
+                use_contact=self.use_contact,
+            )
+        else:
+            strain_energy = build_strain_energy(bonds, bond_energy_fn)
+            energy = (
+                combine_block_energies(strain_energy, build_contact_energy(bonds))
+                if self.use_contact
+                else strain_energy
+            )
 
         solve_dynamics = setup_dynamic_solver(
             geometry=geometry,
