@@ -111,6 +111,8 @@ class ForwardProblem:
     n_substeps: int = 20
     atol: float = 1e-8
     rtol: float = 1e-8
+    # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
+    pallas_interpret: bool = False
 
     is_setup: bool = False
     name: str = "kagome_focusing"
@@ -173,6 +175,17 @@ class ForwardProblem:
                 else strain_energy
             )
 
+        kagome_grid = (
+            dict(
+                n1=self.n1_cells,
+                n2=self.n2_cells,
+                linearized=self.linearized_strains,
+                use_contact=self.use_contact,
+            )
+            if self.method == "verlet_pallas"
+            else None
+        )
+
         solve_dynamics = setup_dynamic_solver(
             geometry=geometry,
             energy_fn=energy,
@@ -183,6 +196,8 @@ class ForwardProblem:
             n_substeps=self.n_substeps,
             atol=self.atol,
             rtol=self.rtol,
+            kagome_grid=kagome_grid,
+            pallas_interpret=self.pallas_interpret,
         )
 
         timepoints = jnp.linspace(0.0, self.simulation_time, self.n_timepoints)

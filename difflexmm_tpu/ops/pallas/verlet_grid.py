@@ -1,5 +1,5 @@
-"""Fused Pallas TPU kernel: one output interval of velocity-Verlet on the
-quad-grid energy, entirely in VMEM, in structure-of-arrays layout.
+"""Fused Pallas TPU kernel: velocity-Verlet on the quad-grid energy,
+entirely in VMEM, in structure-of-arrays layout.
 
 Why SoA: Mosaic tiles the trailing dimension to 128 lanes, so the physics'
 natural (..., 2/3)-component arrays waste ~60x VMEM per intermediate — the
@@ -15,19 +15,21 @@ Reverse-mode: ``jax.custom_vjp`` — forward is the Pallas kernel; backward
 rematerializes the interval with the identical-math XLA body and transposes
 it (the ``jax.checkpoint`` structure of the XLA path). atan2 lowers via a
 minimax polynomial inside the kernel (ops/mathx.py).
+
+The Verlet body / Pallas wrappers / scan transpose are lattice-agnostic and
+live in :mod:`difflexmm_tpu.ops.pallas.core`; this module binds them to the
+quad lattice (kagome binding: verlet_kagome.py).
 """
 
 from typing import Callable
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from difflexmm_tpu.ops import mathx
 from difflexmm_tpu.ops.contact import contact_energy
+from difflexmm_tpu.ops.pallas import core
+from difflexmm_tpu.ops.pallas.core import normalize_arrays  # re-export
 
 # Fixed (non-drive) leaves of the arrays tuple, in order:
 # cnv_planes (4,2,n2,n1), centroid_planes (2,n2,n1),
@@ -63,34 +65,32 @@ def cnv_to_planes(cnv: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
     return jnp.transpose(cnv.reshape(n2, n1, 4, 2), (2, 3, 0, 1))
 
 
+def fields_from_planes(out: jnp.ndarray, n_blocks: int) -> jnp.ndarray:
+    """(T-1, 2, 3, n2, n1) stacked (U, V) planes -> (T-1, 2, nb, 3)."""
+
+    return jnp.moveaxis(out, 2, -1).reshape(out.shape[0], 2, n_blocks, 3)
+
+
 def scatter_matrix_planes(
     n1: int, n2: int, constrained_blocks, constrained_dofs
 ) -> jnp.ndarray:
-    """One-hot (3*n2*n1, k) matrix emitting component-major plane layout."""
+    """One-hot (3*n2*n1, k) matrix emitting component-major plane layout.
+
+    Duplicate [block, DOF] pairs (e.g. a block both driven and clamped)
+    keep only the LAST column — matching the general path's
+    ``.at[].set`` scatter, where the later pair wins, instead of summing.
+    """
 
     k = max(len(constrained_blocks), 1)
     S = np.zeros((3 * n2 * n1, k), dtype=np.float32)
+    last_col = {}
     for col, (b, d) in enumerate(zip(np.asarray(constrained_blocks),
                                      np.asarray(constrained_dofs))):
         j, i = divmod(int(b), n1)
-        S[int(d) * n2 * n1 + j * n1 + i, col] = 1.0
+        last_col[int(d) * n2 * n1 + j * n1 + i] = col
+    for row, col in last_col.items():
+        S[row, col] = 1.0
     return jnp.asarray(S)
-
-
-def normalize_arrays(fixed_leaves, drive_args, dtype):
-    """Shape leaves for Pallas: scalars -> (1, 1); floats cast to dtype."""
-
-    def norm(x):
-        x = jnp.asarray(x)
-        if jnp.issubdtype(x.dtype, jnp.floating):
-            x = x.astype(dtype)
-        if x.ndim == 0:
-            return x.reshape(1, 1)
-        return x
-
-    return tuple(norm(x) for x in fixed_leaves) + (
-        tuple(norm(x) for x in drive_args),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -194,55 +194,39 @@ def quad_grid_energy_planes(
     return energy + contact
 
 
+def _quad_energy_of(linearized: bool, use_contact: bool) -> Callable:
+    """Bind quad_grid_energy_planes to the fixed-leaves convention."""
+
+    def energy_of(U, fixed):
+        (cnv, centroids, ref_h, ref_v, ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
+         cmin, ccut, kc, _inertia, _damping, _mask, _S) = fixed
+        return quad_grid_energy_planes(
+            U, cnv, centroids, ref_h, ref_v,
+            ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
+            cmin, ccut, kc,
+            linearized=linearized, use_contact=use_contact,
+        )
+
+    return energy_of
+
+
 def make_force_fn(n1, n2, linearized, use_contact, drive_values_fn):
     """Force planes on the masked free state (shared: kernel + XLA remat)."""
 
-    def force(U_free, t, arrays):
-        (cnv, centroids, ref_h, ref_v, ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
-         cmin, ccut, kc, inertia, damping_c, free_mask, S, drive_args) = arrays
-
-        def energy(Uf):
-            drive = (S @ drive_values_fn(t, *drive_args).reshape(-1)).reshape(
-                3, n2, n1
-            )
-            return quad_grid_energy_planes(
-                Uf * free_mask + drive, cnv, centroids, ref_h, ref_v,
-                ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
-                cmin, ccut, kc,
-                linearized=linearized, use_contact=use_contact,
-            )
-
-        return -jax.grad(energy)(U_free)
-
-    return force
+    return core.make_force_fn(
+        N_FIXED_ARRAYS, _quad_energy_of(linearized, use_contact), drive_values_fn
+    )
 
 
 def make_interval_body(n1, n2, n_substeps, linearized, use_contact,
                        drive_values_fn):
-    """All n_substeps Verlet steps on plane states (single source of truth
-    for the Pallas kernel and the XLA rematerialization path)."""
+    """All n_substeps Verlet steps on plane states."""
 
-    force = make_force_fn(n1, n2, linearized, use_contact, drive_values_fn)
-
-    def body(U, V, A, t0, dt, arrays):
-        inertia = arrays[13]
-        damping_c = arrays[14]
-        free_mask = arrays[15]
-        inv_m = free_mask / inertia
-
-        def step(i, carry):
-            U, V, A = carry
-            t1 = t0 + (i + 1) * dt
-            U1 = U + dt * V + (0.5 * dt * dt) * A
-            F1 = force(U1, t1, arrays)
-            V_hat = V + 0.5 * dt * (A + F1 * inv_m)
-            V1 = V_hat / (1.0 + 0.5 * dt * damping_c / inertia) * free_mask
-            A1 = (F1 - damping_c * V1) * inv_m
-            return U1, V1, A1
-
-        return lax.fori_loop(0, n_substeps, step, (U, V, A))
-
-    return body
+    return core.make_interval_body(
+        N_FIXED_ARRAYS,
+        n_substeps,
+        make_force_fn(n1, n2, linearized, use_contact, drive_values_fn),
+    )
 
 
 def build_pallas_verlet_interval(
@@ -254,71 +238,15 @@ def build_pallas_verlet_interval(
     use_contact: bool = True,
     interpret: bool = False,
 ):
-    """Build ``interval(carry, t0, dt, arrays) -> carry`` on plane states.
+    """Build ``interval(carry, t0, dt, arrays) -> carry`` on quad planes."""
 
-    ``carry = (U, V, A)``, each (3, n2, n1). ``arrays`` is the normalized
-    tuple documented at the top of this module. Forward = Pallas kernel;
-    backward = XLA remat + transpose.
-    """
-
-    body = make_interval_body(
-        n1, n2, n_substeps, linearized, use_contact, drive_values_fn
+    return core.build_verlet_interval(
+        N_FIXED_ARRAYS,
+        n_substeps,
+        _quad_energy_of(linearized, use_contact),
+        drive_values_fn,
+        interpret=interpret,
     )
-
-    def kernel(*refs):
-        U_ref, V_ref, A_ref, t0_ref, dt_ref = refs[:5]
-        array_refs = refs[5:-3]
-        out_refs = refs[-3:]
-        loaded = [r[:] for r in array_refs]
-        arrays = tuple(loaded[:N_FIXED_ARRAYS]) + (
-            tuple(loaded[N_FIXED_ARRAYS:]),
-        )
-        with mathx.pallas_math():  # Mosaic-lowerable atan2
-            U1, V1, A1 = body(
-                U_ref[:], V_ref[:], A_ref[:], t0_ref[0, 0], dt_ref[0, 0], arrays
-            )
-        out_refs[0][:] = U1
-        out_refs[1][:] = V1
-        out_refs[2][:] = A1
-
-    def pallas_forward(carry, t0, dt, arrays):
-        U, V, A = carry
-        *fixed, drive_args = arrays
-        flat_arrays = list(fixed) + list(drive_args)
-        scalar = lambda x: jnp.asarray(x, U.dtype).reshape(1, 1)
-        outs = pl.pallas_call(
-            kernel,
-            out_shape=tuple(
-                jax.ShapeDtypeStruct(U.shape, U.dtype) for _ in range(3)
-            ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-            * (5 + len(flat_arrays)),
-            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)),
-            interpret=interpret,
-        )(U, V, A, scalar(t0), scalar(dt), *flat_arrays)
-        return tuple(outs)
-
-    def xla_interval(carry, t0, dt, arrays):
-        return body(carry[0], carry[1], carry[2], t0, dt, arrays)
-
-    @jax.custom_vjp
-    def interval(carry, t0, dt, arrays):
-        return pallas_forward(carry, t0, dt, arrays)
-
-    def interval_fwd(carry, t0, dt, arrays):
-        return pallas_forward(carry, t0, dt, arrays), (carry, t0, dt, arrays)
-
-    def interval_bwd(residuals, cotangent):
-        carry, t0, dt, arrays = residuals
-        _, vjp = jax.vjp(xla_interval, carry, t0, dt, arrays)
-        return vjp(tuple(cotangent))
-
-    interval.defvjp(interval_fwd, interval_bwd)
-    interval.xla_reference = xla_interval
-    interval.force_fn = make_force_fn(
-        n1, n2, linearized, use_contact, drive_values_fn
-    )
-    return interval
 
 
 def build_pallas_verlet_trajectory(
@@ -331,117 +259,13 @@ def build_pallas_verlet_trajectory(
     use_contact: bool = True,
     interpret: bool = False,
 ):
-    """Whole-trajectory fused kernel: every interval of every output step in
-    ONE Pallas program, writing interval-boundary states into VMEM outputs.
+    """Whole-trajectory fused quad kernel; see core.build_verlet_trajectory."""
 
-    Eliminates the ~200 us/interval launch + scan-stacking overhead of the
-    per-interval kernel (the in-kernel substep costs ~1.5 us). Returns
-
-        trajectory(carry0, timepoints, arrays) -> (outU, outV, outA)
-
-    with each output (T-1, 3, n2, n1). Reverse-mode is a hand-written scan
-    transpose: the stored interval-boundary states are exact checkpoints, so
-    the backward replays one interval at a time through the XLA body's vjp
-    (same memory profile as jax.checkpoint, no full-trajectory recompute).
-    """
-
-    T = n_timepoints
-    body = make_interval_body(
-        n1, n2, n_substeps, linearized, use_contact, drive_values_fn
+    return core.build_verlet_trajectory(
+        N_FIXED_ARRAYS,
+        n_substeps,
+        n_timepoints,
+        _quad_energy_of(linearized, use_contact),
+        drive_values_fn,
+        interpret=interpret,
     )
-
-    def kernel(*refs):
-        U0_ref, V0_ref, A0_ref, ts_ref = refs[:4]
-        array_refs = refs[4:-3]
-        outU_ref, outV_ref, outA_ref = refs[-3:]
-        loaded = [r[:] for r in array_refs]
-        arrays = tuple(loaded[:N_FIXED_ARRAYS]) + (
-            tuple(loaded[N_FIXED_ARRAYS:]),
-        )
-
-        with mathx.pallas_math():
-            def interval(k, carry):
-                U, V, A = carry
-                t0 = ts_ref[k, 0]
-                t1 = ts_ref[k + 1, 0]
-                U, V, A = body(U, V, A, t0, (t1 - t0) / n_substeps, arrays)
-                outU_ref[k] = U
-                outV_ref[k] = V
-                outA_ref[k] = A
-                return U, V, A
-
-            lax.fori_loop(
-                0, T - 1, interval, (U0_ref[:], V0_ref[:], A0_ref[:])
-            )
-
-    def pallas_forward(carry, timepoints, arrays):
-        U0, V0, A0 = carry
-        *fixed, drive_args = arrays
-        flat_arrays = list(fixed) + list(drive_args)
-        out_shape = jax.ShapeDtypeStruct((T - 1,) + U0.shape, U0.dtype)
-        outs = pl.pallas_call(
-            kernel,
-            out_shape=(out_shape,) * 3,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-            * (4 + len(flat_arrays)),
-            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)),
-            interpret=interpret,
-        )(U0, V0, A0, timepoints.astype(U0.dtype).reshape(T, 1), *flat_arrays)
-        return tuple(outs)
-
-    def xla_interval_t(carry, t0, t1, arrays):
-        return body(carry[0], carry[1], carry[2], t0, (t1 - t0) / n_substeps, arrays)
-
-    @jax.custom_vjp
-    def trajectory(carry, timepoints, arrays):
-        return pallas_forward(carry, timepoints, arrays)
-
-    def trajectory_fwd(carry, timepoints, arrays):
-        outs = pallas_forward(carry, timepoints, arrays)
-        return outs, (carry, timepoints, arrays, outs)
-
-    def trajectory_bwd(residuals, cotangents):
-        carry0, timepoints, arrays, outs = residuals
-        gU, gV, gA = cotangents
-        outU, outV, outA = outs
-        # Interval-input states: carry0 then the stored boundary states.
-        cinU = jnp.concatenate([carry0[0][None], outU[:-1]])
-        cinV = jnp.concatenate([carry0[1][None], outV[:-1]])
-        cinA = jnp.concatenate([carry0[2][None], outA[:-1]])
-
-        zero_arrays = jax.tree.map(jnp.zeros_like, arrays)
-
-        def rev_step(acc, xs):
-            cbar, d_arrays, d_ts = acc
-            k, cU, cV, cA, t0, t1, gUk, gVk, gAk = xs
-            cot = (cbar[0] + gUk, cbar[1] + gVk, cbar[2] + gAk)
-            _, vjp = jax.vjp(
-                lambda c, a, b, arr: xla_interval_t(c, a, b, arr),
-                (cU, cV, cA), t0, t1, arrays,
-            )
-            d_cin, d_t0, d_t1, d_arr = vjp(cot)
-            d_arrays = jax.tree.map(jnp.add, d_arrays, d_arr)
-            d_ts = d_ts.at[k].add(d_t0).at[k + 1].add(d_t1)
-            return (d_cin, d_arrays, d_ts), None
-
-        n_int = T - 1
-        ks = jnp.arange(n_int)
-        init = (
-            (jnp.zeros_like(carry0[0]),) * 3,
-            zero_arrays,
-            jnp.zeros_like(timepoints),
-        )
-        (d_carry0, d_arrays, d_ts), _ = lax.scan(
-            rev_step,
-            init,
-            (ks, cinU, cinV, cinA, timepoints[:-1], timepoints[1:], gU, gV, gA),
-            reverse=True,
-        )
-        return d_carry0, d_ts, d_arrays
-
-    trajectory.defvjp(trajectory_fwd, trajectory_bwd)
-    trajectory.xla_interval = xla_interval_t
-    trajectory.force_fn = make_force_fn(
-        n1, n2, linearized, use_contact, drive_values_fn
-    )
-    return trajectory

@@ -1,0 +1,273 @@
+"""Fused Pallas TPU kernel: velocity-Verlet on the kagome-grid energy.
+
+Kagome binding of the lattice-agnostic machinery in
+:mod:`difflexmm_tpu.ops.pallas.core` (quads: verlet_grid.py). Kagome cells
+tile an (n2, n1) grid with two triangular blocks per cell (block ``2*cell``
+"down", ``2*cell+1`` "up"); the state is SoA planes of shape (6, n2, n1)
+with channel order (ux_down, uy_down, th_down, ux_up, uy_up, th_up). The
+three bond families (internal / boundary-1 / boundary-2, see
+ops/kagome_grid.py and geometry/kagome.py) are lane/sublane-shifted slices
+over the cell grid — no gathers anywhere in the kernel.
+
+Behavioral parity: the reference's kagome lattices run through its generic
+gather-based assembly (difflexmm/energy.py:410-449 on
+geometry.py:607-801 connectivity); this kernel is the TPU-native
+equivalent, bit-matched to our general path by tests.
+"""
+
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from difflexmm_tpu.ops.contact import contact_energy
+from difflexmm_tpu.ops.pallas import core
+from difflexmm_tpu.ops.pallas.verlet_grid import _angle, _ligament_planes
+
+# Fixed (non-drive) leaves of the arrays tuple, in order:
+# cnv_planes (2,3,2,n2,n1)  [triangle, corner, component, j, i],
+# centroid_planes (2,2,n2,n1)  [triangle, component, j, i],
+# ref_i (2,n2,n1), ref_b1 (2,n2-1,n1), ref_b2 (2,n2,n1-1),
+# ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2
+#   ((n2,n1) / (n2-1,n1) / (n2,n1-1) or (1,1)),
+# cmin, ccut, kc (1,1), inertia (6,n2,n1), damping (6,n2,n1),
+# free_mask (6,n2,n1), S (6*n2*n1, k)
+N_FIXED_ARRAYS = 21
+
+
+# ---------------------------------------------------------------------------
+# Layout conversion (runs in XLA, outside the kernel)
+# ---------------------------------------------------------------------------
+
+
+def to_planes(field: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """(nb, C) block field -> (2*C, n2, n1) planes, down channels first."""
+
+    C = field.shape[-1]
+    return jnp.transpose(field.reshape(n2, n1, 2, C), (2, 3, 0, 1)).reshape(
+        2 * C, n2, n1
+    )
+
+
+def fields_from_planes(out: jnp.ndarray, n_blocks: int) -> jnp.ndarray:
+    """(T-1, 2, 6, n2, n1) stacked (U, V) planes -> (T-1, 2, nb, 3)."""
+
+    T1, two, _, n2, n1 = out.shape
+    out = out.reshape(T1, two, 2, 3, n2, n1)
+    out = jnp.transpose(out, (0, 1, 4, 5, 2, 3))  # (T-1, 2, n2, n1, tri, 3)
+    return out.reshape(T1, two, n_blocks, 3)
+
+
+def cnv_to_planes(cnv: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """(nb, 3, 2) centroid-node vectors -> (2, 3, 2, n2, n1)."""
+
+    return jnp.transpose(cnv.reshape(n2, n1, 2, 3, 2), (2, 3, 4, 0, 1))
+
+
+def centroids_to_planes(bc: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """(nb, 2) block centroids -> (2, 2, n2, n1) [triangle, comp, j, i]."""
+
+    return jnp.transpose(bc.reshape(n2, n1, 2, 2), (2, 3, 0, 1))
+
+
+def scatter_matrix_planes(
+    n1: int, n2: int, constrained_blocks, constrained_dofs
+) -> jnp.ndarray:
+    """One-hot (6*n2*n1, k) matrix emitting kagome plane layout.
+
+    Duplicate [block, DOF] pairs keep only the LAST column — matching the
+    general path's ``.at[].set`` scatter (later pair wins), not summing.
+    """
+
+    k = max(len(constrained_blocks), 1)
+    S = np.zeros((6 * n2 * n1, k), dtype=np.float32)
+    last_col = {}
+    for col, (b, d) in enumerate(zip(np.asarray(constrained_blocks),
+                                     np.asarray(constrained_dofs))):
+        cell, tri = divmod(int(b), 2)
+        j, i = divmod(cell, n1)
+        last_col[(tri * 3 + int(d)) * n2 * n1 + j * n1 + i] = col
+    for row, col in last_col.items():
+        S[row, col] = 1.0
+    return jnp.asarray(S)
+
+
+def split_bond_planes(value, n1: int, n2: int):
+    """Scalar-or-(n_bonds,) bond quantity -> (internal, b1, b2) planes.
+
+    Bond ordering follows geometry/kagome.py connectivity (same split as
+    ops/kagome_grid.py:_split).
+    """
+
+    value = jnp.asarray(value)
+    if value.ndim == 0:
+        return value, value, value
+    n_int = n1 * n2
+    n_b1 = n1 * (n2 - 1)
+    return (
+        value[:n_int].reshape(n2, n1),
+        value[n_int:n_int + n_b1].reshape(n2 - 1, n1),
+        value[n_int + n_b1:].reshape(n2, n1 - 1),
+    )
+
+
+def split_ref_planes(ref, n1: int, n2: int):
+    """(n_bonds, 2) reference vectors -> three (2, ...) plane pairs."""
+
+    ref = jnp.asarray(ref)
+    if ref.ndim == 1:  # one shared (2,) reference vector
+        return (
+            jnp.broadcast_to(ref[:, None, None], (2, n2, n1)),
+            jnp.broadcast_to(ref[:, None, None], (2, n2 - 1, n1)),
+            jnp.broadcast_to(ref[:, None, None], (2, n2, n1 - 1)),
+        )
+    n_int = n1 * n2
+    n_b1 = n1 * (n2 - 1)
+    return (
+        jnp.moveaxis(ref[:n_int].reshape(n2, n1, 2), -1, 0),
+        jnp.moveaxis(ref[n_int:n_int + n_b1].reshape(n2 - 1, n1, 2), -1, 0),
+        jnp.moveaxis(ref[n_int + n_b1:].reshape(n2, n1 - 1, 2), -1, 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SoA physics
+# ---------------------------------------------------------------------------
+
+
+def kagome_grid_energy_planes(
+    U,  # (6, n2, n1)
+    cnv,  # (2, 3, 2, n2, n1)
+    centroids,  # (2, 2, n2, n1)
+    ref_i, ref_b1, ref_b2,
+    ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
+    cmin, ccut, kc,
+    linearized: bool = False,
+    use_contact: bool = True,
+):
+    """Total strain (+ contact) energy of the kagome lattice on planes.
+
+    Same physics as ops/kagome_grid.py:build_kagome_grid_energy, in SoA
+    layout (bond ends and void corners per family documented there).
+    """
+
+    # Node displacements per triangle (d) / corner (k): 3 planes each side.
+    d = []  # d[tri][corner] = (dx, dy)
+    for tri in range(2):
+        ux, uy, th = U[3 * tri], U[3 * tri + 1], U[3 * tri + 2]
+        cth, sth = jnp.cos(th), jnp.sin(th)
+        d.append([
+            (
+                ux + (cth - 1.0) * cnv[tri, k, 0] - sth * cnv[tri, k, 1],
+                uy + sth * cnv[tri, k, 0] + (cth - 1.0) * cnv[tri, k, 1],
+            )
+            for k in range(3)
+        ])
+    thd, thu = U[2], U[5]
+    down, up = d
+
+    # Internal bonds: down corner 1 -> up corner 0, same cell.
+    e_i = _ligament_planes(
+        up[0][0] - down[1][0], up[0][1] - down[1][1],
+        thd, thu, ref_i[0], ref_i[1], ks_i, ksh_i, kr_i, linearized,
+    )
+    # Boundary-1 bonds: down corner 0 of (j+1, i) -> up corner 2 of (j, i).
+    e_b1 = _ligament_planes(
+        up[2][0][:-1, :] - down[0][0][1:, :],
+        up[2][1][:-1, :] - down[0][1][1:, :],
+        thd[1:, :], thu[:-1, :], ref_b1[0], ref_b1[1],
+        ks_b1, ksh_b1, kr_b1, linearized,
+    )
+    # Boundary-2 bonds: down corner 2 of (j, i+1) -> up corner 1 of (j, i).
+    e_b2 = _ligament_planes(
+        up[1][0][:, :-1] - down[2][0][:, 1:],
+        up[1][1][:, :-1] - down[2][1][:, 1:],
+        thd[:, 1:], thu[:, :-1], ref_b2[0], ref_b2[1],
+        ks_b2, ksh_b2, kr_b2, linearized,
+    )
+    energy = jnp.sum(e_i) + jnp.sum(e_b1) + jnp.sum(e_b2)
+
+    if not use_contact:
+        return energy
+
+    # Absolute corner positions.
+    p = [
+        [
+            (
+                centroids[tri, 0] + cnv[tri, k, 0] + d[tri][k][0],
+                centroids[tri, 1] + cnv[tri, k, 1] + d[tri][k][1],
+            )
+            for k in range(3)
+        ]
+        for tri in range(2)
+    ]
+
+    def voids(p1, c1, p2, c2, slice1, slice2):
+        """Void angles at bonds joining corner c1 (tri planes p1, slice1)
+        to corner c2 (tri planes p2, slice2); _angle is scale-invariant so
+        edge vectors need no normalization."""
+
+        n1x = p1[(c1 + 1) % 3][0][slice1] - p1[c1][0][slice1]
+        n1y = p1[(c1 + 1) % 3][1][slice1] - p1[c1][1][slice1]
+        p1x = p1[(c1 - 1) % 3][0][slice1] - p1[c1][0][slice1]
+        p1y = p1[(c1 - 1) % 3][1][slice1] - p1[c1][1][slice1]
+        n2x = p2[(c2 + 1) % 3][0][slice2] - p2[c2][0][slice2]
+        n2y = p2[(c2 + 1) % 3][1][slice2] - p2[c2][1][slice2]
+        p2x = p2[(c2 - 1) % 3][0][slice2] - p2[c2][0][slice2]
+        p2y = p2[(c2 - 1) % 3][1][slice2] - p2[c2][1][slice2]
+        return (
+            _angle(p2x, p2y, n1x, n1y),
+            _angle(p1x, p1y, n2x, n2y),
+        )
+
+    sl = jnp.index_exp
+    full = sl[:, :]
+    gaps = (
+        *voids(p[0], 1, p[1], 0, full, full),                  # internal
+        *voids(p[0], 0, p[1], 2, sl[1:, :], sl[:-1, :]),       # boundary 1
+        *voids(p[0], 2, p[1], 1, sl[:, 1:], sl[:, :-1]),       # boundary 2
+    )
+    contact = sum(
+        jnp.sum(contact_energy(g, min_angle=cmin, cutoff_angle=ccut, k_contact=kc))
+        for g in gaps
+    )
+    return energy + contact
+
+
+def _kagome_energy_of(linearized: bool, use_contact: bool) -> Callable:
+    """Bind kagome_grid_energy_planes to the fixed-leaves convention."""
+
+    def energy_of(U, fixed):
+        (cnv, centroids, ref_i, ref_b1, ref_b2,
+         ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
+         cmin, ccut, kc, _inertia, _damping, _mask, _S) = fixed
+        return kagome_grid_energy_planes(
+            U, cnv, centroids, ref_i, ref_b1, ref_b2,
+            ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
+            cmin, ccut, kc,
+            linearized=linearized, use_contact=use_contact,
+        )
+
+    return energy_of
+
+
+def build_pallas_kagome_trajectory(
+    n1: int,
+    n2: int,
+    n_substeps: int,
+    n_timepoints: int,
+    drive_values_fn: Callable,
+    linearized: bool = False,
+    use_contact: bool = True,
+    interpret: bool = False,
+):
+    """Whole-trajectory fused kagome kernel; see core.build_verlet_trajectory."""
+
+    return core.build_verlet_trajectory(
+        N_FIXED_ARRAYS,
+        n_substeps,
+        n_timepoints,
+        _kagome_energy_of(linearized, use_contact),
+        drive_values_fn,
+        interpret=interpret,
+    )

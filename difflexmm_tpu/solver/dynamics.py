@@ -150,6 +150,7 @@ def setup_dynamic_solver(
     n_substeps: int = 64,
     checkpoint: bool = True,
     quad_grid: Optional[dict] = None,
+    kagome_grid: Optional[dict] = None,
     pallas_interpret: bool = False,
 ):
     """Set up the dynamic solver.
@@ -164,10 +165,12 @@ def setup_dynamic_solver(
             "verlet_pallas" (fused Pallas interval kernel; quad lattices).
         n_substeps: fixed integration steps per output interval.
         checkpoint: rematerialized backward pass over intervals.
-        quad_grid: required for "verlet_pallas": dict with n1, n2,
-            bond_energy_fn, and optional use_contact/angle_based; the
-            energy is then the gridded quad energy (energy_fn is ignored
-            in the hot loop but still used for diagnostics).
+        quad_grid: for "verlet_pallas" on quad lattices: dict with n1, n2
+            and optional linearized/use_contact; the energy is then the
+            gridded quad energy (energy_fn is ignored in the hot loop but
+            still used for diagnostics).
+        kagome_grid: same, for kagome lattices (n1/n2 = cells; two
+            triangular blocks per cell; ops/pallas/verlet_kagome.py).
         pallas_interpret: run the Pallas kernel in interpreter mode
             (debugging / CPU test parity).
     """
@@ -221,30 +224,45 @@ def setup_dynamic_solver(
         )
 
     if method == "verlet_pallas":
-        if quad_grid is None:
+        grid = kagome_grid if kagome_grid is not None else quad_grid
+        if grid is None:
             raise ValueError(
-                "method='verlet_pallas' requires quad_grid={'n1':..., 'n2':..., "
-                "'bond_energy_fn':...}."
+                "method='verlet_pallas' requires quad_grid={'n1':..., "
+                "'n2':...} or kagome_grid={'n1':..., 'n2':...}."
             )
         if loaded_block_DOF_pairs is not None and loading_fn is not None:
             raise NotImplementedError(
                 "verlet_pallas supports driven constraints + damping; "
                 "force loading is not fused yet — use method='verlet'."
             )
-        from difflexmm_tpu.ops.grid import split_grid_bond_data
-        from difflexmm_tpu.ops.pallas.verlet_grid import (
-            build_pallas_verlet_trajectory,
-            cnv_to_planes,
-            from_planes,
-            normalize_arrays,
-            scatter_matrix_planes,
-            to_planes,
-        )
+        is_kagome = kagome_grid is not None
+        if is_kagome:
+            from difflexmm_tpu.ops.pallas.core import normalize_arrays
+            from difflexmm_tpu.ops.pallas.verlet_kagome import (
+                build_pallas_kagome_trajectory as _build_trajectory,
+                centroids_to_planes as _centroids_to_planes,
+                cnv_to_planes as _cnv_to_planes,
+                fields_from_planes as _fields_from_planes,
+                scatter_matrix_planes as _scatter_matrix,
+                split_bond_planes as _split_bonds,
+                split_ref_planes as _split_refs,
+                to_planes as _to_planes,
+            )
+        else:
+            from difflexmm_tpu.ops.grid import split_grid_bond_data
+            from difflexmm_tpu.ops.pallas.verlet_grid import (
+                build_pallas_verlet_trajectory as _build_trajectory,
+                cnv_to_planes as _cnv_to_planes,
+                fields_from_planes as _fields_from_planes,
+                normalize_arrays,
+                scatter_matrix_planes as _scatter_matrix,
+                to_planes as _to_planes,
+            )
 
-        g_n1, g_n2 = quad_grid["n1"], quad_grid["n2"]
-        g_linearized = quad_grid.get("linearized", False)
-        g_contact = quad_grid.get("use_contact", True)
-        S = scatter_matrix_planes(
+        g_n1, g_n2 = grid["n1"], grid["n2"]
+        g_linearized = grid.get("linearized", False)
+        g_contact = grid.get("use_contact", True)
+        S = _scatter_matrix(
             g_n1, g_n2, dof_set.constrained_blocks, dof_set.constrained_dofs
         )
         if damped_blocks is not None:
@@ -299,7 +317,7 @@ def setup_dynamic_solver(
                     else jnp.asarray(c)
                     for c in closed.consts
                 )
-                trajectory = build_pallas_verlet_trajectory(
+                trajectory = _build_trajectory(
                     g_n1, g_n2, n_substeps, n_timepoints, converted,
                     linearized=g_linearized, use_contact=g_contact,
                     interpret=pallas_interpret,
@@ -310,17 +328,6 @@ def setup_dynamic_solver(
         def _pallas_arrays(control_params, inertia, dtype):
             mp = control_params.mechanical_params
             gp = control_params.geometrical_params
-            (ref_h, ref_v, ks_h, ks_v, ksh_h, ksh_v, kr_h, kr_v) = (
-                split_grid_bond_data(mp.bond_params, g_n1, g_n2)
-            )
-
-            def ref_planes(ref, shape):
-                ref = jnp.asarray(ref)
-                if ref.ndim == 1:  # one shared (2,) reference vector
-                    return jnp.broadcast_to(
-                        ref[:, None, None], (2,) + shape
-                    )
-                return jnp.moveaxis(ref, -1, 0)  # (n2, n?, 2) -> (2, n2, n?)
 
             contact_on = g_contact and mp.contact_params is not None
             if contact_on:
@@ -331,18 +338,51 @@ def setup_dynamic_solver(
                 cmin, ccut, kc = 0.0, 1.0, 0.0
             keys = tuple(sorted(control_params.constraint_params.keys()))
             drive_args = [control_params.constraint_params[k] for k in keys]
-            fixed = (
-                cnv_to_planes(gp.centroid_node_vectors, g_n1, g_n2),
-                to_planes(gp.block_centroids, g_n1, g_n2),
-                ref_planes(ref_h, (g_n2, g_n1 - 1)),
-                ref_planes(ref_v, (g_n2 - 1, g_n1)),
-                ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
+
+            common_tail = (
                 cmin, ccut, kc,
-                to_planes(inertia, g_n1, g_n2),
-                to_planes(_p_damping_coeffs(mp.damping), g_n1, g_n2),
-                to_planes(dof_set.free_mask, g_n1, g_n2),
+                _to_planes(inertia, g_n1, g_n2),
+                _to_planes(_p_damping_coeffs(mp.damping), g_n1, g_n2),
+                _to_planes(dof_set.free_mask, g_n1, g_n2),
                 S,
             )
+
+            if is_kagome:
+                bp = mp.bond_params
+                ks_i, ks_b1, ks_b2 = _split_bonds(bp.k_stretch, g_n1, g_n2)
+                ksh_i, ksh_b1, ksh_b2 = _split_bonds(bp.k_shear, g_n1, g_n2)
+                kr_i, kr_b1, kr_b2 = _split_bonds(bp.k_rot, g_n1, g_n2)
+                ref_i, ref_b1, ref_b2 = _split_refs(
+                    bp.reference_vector, g_n1, g_n2
+                )
+                fixed = (
+                    _cnv_to_planes(gp.centroid_node_vectors, g_n1, g_n2),
+                    _centroids_to_planes(gp.block_centroids, g_n1, g_n2),
+                    ref_i, ref_b1, ref_b2,
+                    ks_i, ksh_i, kr_i,
+                    ks_b1, ksh_b1, kr_b1,
+                    ks_b2, ksh_b2, kr_b2,
+                ) + common_tail
+            else:
+                (ref_h, ref_v, ks_h, ks_v, ksh_h, ksh_v, kr_h, kr_v) = (
+                    split_grid_bond_data(mp.bond_params, g_n1, g_n2)
+                )
+
+                def ref_planes(ref, shape):
+                    ref = jnp.asarray(ref)
+                    if ref.ndim == 1:  # one shared (2,) reference vector
+                        return jnp.broadcast_to(
+                            ref[:, None, None], (2,) + shape
+                        )
+                    return jnp.moveaxis(ref, -1, 0)  # (n2,n?,2) -> (2,n2,n?)
+
+                fixed = (
+                    _cnv_to_planes(gp.centroid_node_vectors, g_n1, g_n2),
+                    _to_planes(gp.block_centroids, g_n1, g_n2),
+                    ref_planes(ref_h, (g_n2, g_n1 - 1)),
+                    ref_planes(ref_v, (g_n2 - 1, g_n1)),
+                    ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
+                ) + common_tail
             return keys, normalize_arrays(fixed, drive_args, dtype)
 
     def solve_dynamics(
@@ -359,21 +399,20 @@ def setup_dynamic_solver(
                 keys, len(timepoints), arrays[-1], y0.dtype
             )
             arrays = arrays[:-1] + (arrays[-1] + drive_consts,)
-            U0 = to_planes(y0[0], g_n1, g_n2)
-            V0 = to_planes(y0[1], g_n1, g_n2)
-            inertia_p = arrays[13]
-            damping_c = arrays[14]
-            mask_p = arrays[15]
+            U0 = _to_planes(y0[0], g_n1, g_n2)
+            V0 = _to_planes(y0[1], g_n1, g_n2)
+            # Fixed leaves end with (inertia, damping, mask, S); arrays'
+            # last element is the drive tuple.
+            inertia_p = arrays[-5]
+            damping_c = arrays[-4]
+            mask_p = arrays[-3]
             inv_m = mask_p / inertia_p
             F0 = trajectory.force_fn(U0, timepoints[0], arrays)
             A0 = (F0 - damping_c * V0) * inv_m
 
             outU, outV, _ = trajectory((U0, V0, A0), timepoints, arrays)
-            out = jnp.stack([outU, outV], axis=1)  # (T-1, 2, 3, n2, n1)
-            # planes -> (T-1, 2, nb, 3)
-            out = jnp.moveaxis(out, 2, -1).reshape(
-                out.shape[0], 2, n_blocks, 3
-            )
+            out = jnp.stack([outU, outV], axis=1)  # (T-1, 2, C, n2, n1)
+            out = _fields_from_planes(out, n_blocks)  # (T-1, 2, nb, 3)
             ys = jnp.concatenate([y0[None], out])
         elif method == "verlet":
             ys = _integrate_verlet(

@@ -1,0 +1,157 @@
+"""Kagome fused Pallas Verlet kernel: parity with the XLA verlet path.
+
+Runs in interpreter mode on CPU (semantics check); the compiled TPU path is
+exercised by bench/driver runs on real hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difflexmm_tpu.geometry import KagomeGeometry
+from difflexmm_tpu.models import base
+from difflexmm_tpu.ops.bonds import ligament_energy
+from difflexmm_tpu.ops.kagome_grid import build_kagome_grid_energy
+from difflexmm_tpu.solver import setup_dynamic_solver
+from difflexmm_tpu.utils import (
+    ContactParams,
+    ControlParams,
+    GeometricalParams,
+    LigamentParams,
+    MechanicalParams,
+)
+
+
+def _setup(method, n1=4, n2=3, n_substeps=8, k_arrays=False, **kwargs):
+    geo = KagomeGeometry(n1_cells=n1, n2_cells=n2, bond_length=0.05)
+    geo.compute_geometry()
+    bc, cnv, bond_fn, rbv = geo.get_parametrization()
+    design = geo.zero_design()
+
+    # Drive the down triangle of the two middle rows of the first column.
+    rows = np.array([n2 // 2 - 1, n2 // 2])
+    driven_blocks = rows * 2 * n1
+    driven_pairs = base.all_dofs_pairs(driven_blocks)
+    k = len(driven_blocks)
+    drive_vector = jnp.asarray(np.concatenate([np.ones(k), np.zeros(2 * k)]))
+
+    def drive(t, amplitude, rate):
+        return base.pulse(t, amplitude, rate) * drive_vector
+
+    solve = setup_dynamic_solver(
+        geometry=geo,
+        energy_fn=build_kagome_grid_energy(n1, n2, ligament_energy),
+        constrained_block_DOF_pairs=driven_pairs,
+        constrained_DOFs_fn=drive,
+        damped_blocks=np.arange(geo.n_blocks),
+        method=method,
+        n_substeps=n_substeps,
+        kagome_grid=(
+            dict(n1=n1, n2=n2, linearized=False)
+            if method == "verlet_pallas"
+            else None
+        ),
+        **kwargs,
+    )
+
+    n_bonds = len(bond_fn())
+    if k_arrays:
+        ks = 1.0 + 0.3 * jax.random.uniform(jax.random.PRNGKey(3), (n_bonds,))
+        ksh = 0.02 * (1 + 0.5 * jax.random.uniform(jax.random.PRNGKey(4), (n_bonds,)))
+        kr = 1e-3 * (1 + jax.random.uniform(jax.random.PRNGKey(5), (n_bonds,)))
+    else:
+        ks, ksh, kr = 1.0, 0.02, 1e-3
+    cp = ControlParams(
+        geometrical_params=GeometricalParams(bc(*design), cnv(*design)),
+        mechanical_params=MechanicalParams(
+            bond_params=LigamentParams(ks, ksh, kr, rbv()),
+            density=1.0,
+            damping=0.05,
+            contact_params=ContactParams(0.0, jnp.deg2rad(30.0), 1.0),
+        ),
+        constraint_params=dict(amplitude=0.02, rate=4.0),
+    )
+    timepoints = jnp.linspace(0.0, 1.0, 7)
+    state0 = jnp.zeros((2, geo.n_blocks, 3))
+    return solve, state0, timepoints, cp, design, (bc, cnv)
+
+
+def test_kagome_pallas_matches_verlet():
+    solve_ref, state0, timepoints, cp, *_ = _setup("verlet", k_arrays=True)
+    solve_pal, *_ = _setup("verlet_pallas", k_arrays=True, pallas_interpret=True)
+
+    sol_ref = solve_ref(state0, timepoints, cp)
+    sol_pal = solve_pal(state0, timepoints, cp)
+    assert sol_pal.shape == sol_ref.shape
+    assert float(jnp.max(jnp.abs(sol_ref))) > 1e-4  # something happened
+    # poly-atan2 inside the kernel differs from jnp.arctan2 by ~2e-8
+    assert jnp.allclose(sol_pal, sol_ref, atol=1e-6)
+
+
+def test_kagome_pallas_gradient_matches_verlet():
+    solve_ref, state0, timepoints, cp, *_ = _setup("verlet")
+    solve_pal, *_ = _setup("verlet_pallas", pallas_interpret=True)
+
+    def objective(solve):
+        def fn(k_scale):
+            bp = cp.mechanical_params.bond_params._replace(
+                k_stretch=k_scale * cp.mechanical_params.bond_params.k_stretch
+            )
+            cp2 = cp._replace(
+                mechanical_params=cp.mechanical_params._replace(bond_params=bp)
+            )
+            return jnp.sum(solve(state0, timepoints, cp2)[:, 1] ** 2)
+        return fn
+
+    v_ref, g_ref = jax.value_and_grad(objective(solve_ref))(1.0)
+    v_pal, g_pal = jax.value_and_grad(objective(solve_pal))(1.0)
+    assert jnp.allclose(v_pal, v_ref, rtol=1e-6)
+    assert jnp.allclose(g_pal, g_ref, rtol=1e-5)
+
+
+def test_kagome_pallas_design_gradient():
+    """Design (hinge-shift) gradients flow through the kagome Pallas path."""
+
+    solve_pal, state0, timepoints, cp, design, (bc, cnv) = _setup(
+        "verlet_pallas", pallas_interpret=True
+    )
+
+    def objective(s3):
+        shifts = (design[0], design[1], s3)
+        cp2 = cp._replace(
+            geometrical_params=GeometricalParams(bc(*shifts), cnv(*shifts))
+        )
+        return jnp.sum(solve_pal(state0, timepoints, cp2)[:, 1] ** 2)
+
+    g = jax.grad(objective)(design[2])
+    assert g.shape == design[2].shape
+    assert jnp.all(jnp.isfinite(g))
+    assert float(jnp.linalg.norm(g)) > 0
+
+
+def test_kagome_focusing_model_pallas_parity():
+    """The model's verlet_pallas method reproduces the verlet trajectory."""
+
+    from difflexmm_tpu.models.kagome_focusing import ForwardProblem
+
+    # n2=6 keeps the driven rows clear of the clamped corner columns (on
+    # tiny lattices they overlap; duplicate-pair semantics are covered by
+    # the last-write-wins scatter matrix).
+    kwargs = dict(
+        n1_cells=4, n2_cells=6, cell_size=1.0, cell_angle=jnp.pi / 3,
+        bond_length=0.05, k_stretch=1.0, k_shear=0.02, k_rot=1e-3,
+        density=1.0, damping=0.02, amplitude=0.05, loading_rate=20.0,
+        input_delay=0.0, n_excited_blocks=2, simulation_time=0.3,
+        n_timepoints=5, n_substeps=6,
+    )
+    design = KagomeGeometry(4, 6, bond_length=0.05).zero_design()
+
+    fp_ref = ForwardProblem(method="verlet", **kwargs)
+    fp_ref.setup()
+    fp_pal = ForwardProblem(
+        method="verlet_pallas", pallas_interpret=True, **kwargs
+    )
+    fp_pal.setup()
+    sol_ref = fp_ref.solve(design).fields
+    sol_pal = fp_pal.solve(design).fields
+    assert jnp.allclose(sol_pal, sol_ref, atol=1e-6)
