@@ -27,6 +27,29 @@ class OptLoopResult(NamedTuple):
     design_values: list
 
 
+def project_box(design, lower_bound=None, upper_bound=None):
+    """Clamp a design pytree to box bounds.
+
+    Each bound may be None, a scalar (applied to every leaf), or a pytree
+    matching ``design`` (per-leaf bound arrays).
+    """
+
+    def is_pytree_bound(bound):
+        return jax.tree_util.tree_structure(bound) == jax.tree_util.tree_structure(design)
+
+    if lower_bound is not None:
+        if is_pytree_bound(lower_bound):
+            design = jax.tree.map(jnp.maximum, design, lower_bound)
+        else:
+            design = jax.tree.map(lambda d: jnp.maximum(d, lower_bound), design)
+    if upper_bound is not None:
+        if is_pytree_bound(upper_bound):
+            design = jax.tree.map(jnp.minimum, design, upper_bound)
+        else:
+            design = jax.tree.map(lambda d: jnp.minimum(d, upper_bound), design)
+    return design
+
+
 def run_optimization_optax(
     objective_fn: Callable,
     initial_design,
@@ -62,10 +85,7 @@ def run_optimization_optax(
             jax.tree.map(lambda g: sign * g, grad), opt_state, design
         )
         design = optax.apply_updates(design, updates)
-        if lower_bound is not None:
-            design = jax.tree.map(lambda d: jnp.maximum(d, lower_bound), design)
-        if upper_bound is not None:
-            design = jax.tree.map(lambda d: jnp.minimum(d, upper_bound), design)
+        design = project_box(design, lower_bound, upper_bound)
         return design, opt_state, value
 
     design = initial_design
@@ -104,10 +124,7 @@ def naive_gd(
     for it in range(n_iterations):
         value, grad = objective_and_grad(design)
         design = jax.tree.map(lambda d, g: d - sign * learning_rate * g, design, grad)
-        if lower_bound is not None:
-            design = jax.tree.map(lambda d: jnp.maximum(d, lower_bound), design)
-        if upper_bound is not None:
-            design = jax.tree.map(lambda d: jnp.minimum(d, upper_bound), design)
+        design = project_box(design, lower_bound, upper_bound)
         objective_values.append(float(value))
         design_values.append(design)
         if callback is not None:

@@ -10,6 +10,12 @@ without lab data; swap ``make_experiment`` for ``tracking.track_video`` +
     python examples/experiment_vs_simulation.py
 """
 
+import sys
+from pathlib import Path
+
+# Self-bootstrap so `python examples/<name>.py` works from anywhere.
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 

@@ -10,6 +10,11 @@ built on the TPU-native solver. Run:
 import sys
 from pathlib import Path
 
+# Self-bootstrap so `python examples/<name>.py` works from anywhere.
+# (Do NOT use PYTHONPATH: the session's TPU-plugin registration breaks
+# when PYTHONPATH is set.)
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,6 +11,11 @@ render the optimized response. Run:
 import sys
 from pathlib import Path
 
+# Self-bootstrap so `python examples/<name>.py` works from anywhere.
+# (Do NOT use PYTHONPATH: the session's TPU-plugin registration breaks
+# when PYTHONPATH is set.)
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 
 from difflexmm_tpu.models.quads_focusing import ForwardProblem, OptimizationProblem

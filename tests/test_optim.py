@@ -103,6 +103,26 @@ def test_optax_loop_with_bounds():
     assert len(result.objective_values) == 400
 
 
+def test_optax_loop_with_pytree_bounds():
+    """Per-leaf bound pytrees (e.g. design0 +/- delta) clip independently."""
+
+    def objective(tree):
+        a, b = tree
+        return -jnp.sum((a - 1.0) ** 2) - jnp.sum((b + 1.0) ** 2)
+
+    design0 = (jnp.zeros(3), jnp.zeros(2))
+    result = run_optimization_optax(
+        objective,
+        design0,
+        n_iterations=400,
+        maximize=True,
+        lower_bound=jax.tree.map(lambda x: x - 0.25, design0),
+        upper_bound=jax.tree.map(lambda x: x + 0.25, design0),
+    )
+    assert jnp.allclose(result.design[0], 0.25, atol=1e-3)   # clipped up
+    assert jnp.allclose(result.design[1], -0.25, atol=1e-3)  # clipped down
+
+
 def test_naive_gd():
     def oag(x):
         return jax.value_and_grad(lambda z: jnp.sum(z**2))(x)
