@@ -98,6 +98,8 @@ class ForwardProblem:
     grid_energy: bool = True
     atol: float = 1e-8
     rtol: float = 1e-8
+    # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
+    pallas_interpret: bool = False
 
     is_setup: bool = False
     name: str = "quads_focusing"
@@ -174,6 +176,7 @@ class ForwardProblem:
             atol=self.atol,
             rtol=self.rtol,
             quad_grid=quad_grid,
+            pallas_interpret=self.pallas_interpret,
         )
 
         timepoints = jnp.linspace(0.0, self.simulation_time, self.n_timepoints)

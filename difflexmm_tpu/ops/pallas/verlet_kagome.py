@@ -13,6 +13,12 @@ Behavioral parity: the reference's kagome lattices run through its generic
 gather-based assembly (difflexmm/energy.py:410-449 on
 geometry.py:607-801 connectivity); this kernel is the TPU-native
 equivalent, bit-matched to our general path by tests.
+
+vmap (multi-start) note: batching multiplies the VMEM-resident trajectory
+outputs — keep ``B * (T-1) * 6 * n2 * n1 * 4B * 3`` under the ~16 MB
+scoped-VMEM limit (e.g. B=4, T=100 on 16x16 cells → 46 ms/design on v5e).
+Larger fleets shard designs over the device mesh instead
+(parallel/scenarios.py), one design per chip.
 """
 
 from typing import Callable
