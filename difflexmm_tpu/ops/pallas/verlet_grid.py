@@ -52,13 +52,6 @@ def to_planes(field: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
     return jnp.moveaxis(field.reshape(n2, n1, C), -1, 0)
 
 
-def from_planes(planes: jnp.ndarray) -> jnp.ndarray:
-    """(C, n2, n1) -> (nb, C)."""
-
-    C = planes.shape[0]
-    return jnp.moveaxis(planes, 0, -1).reshape(-1, C)
-
-
 def cnv_to_planes(cnv: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
     """(nb, 4, 2) centroid-node vectors -> (4, 2, n2, n1)."""
 
@@ -208,45 +201,6 @@ def _quad_energy_of(linearized: bool, use_contact: bool) -> Callable:
         )
 
     return energy_of
-
-
-def make_force_fn(n1, n2, linearized, use_contact, drive_values_fn):
-    """Force planes on the masked free state (shared: kernel + XLA remat)."""
-
-    return core.make_force_fn(
-        N_FIXED_ARRAYS, _quad_energy_of(linearized, use_contact), drive_values_fn
-    )
-
-
-def make_interval_body(n1, n2, n_substeps, linearized, use_contact,
-                       drive_values_fn):
-    """All n_substeps Verlet steps on plane states."""
-
-    return core.make_interval_body(
-        N_FIXED_ARRAYS,
-        n_substeps,
-        make_force_fn(n1, n2, linearized, use_contact, drive_values_fn),
-    )
-
-
-def build_pallas_verlet_interval(
-    n1: int,
-    n2: int,
-    n_substeps: int,
-    drive_values_fn: Callable,
-    linearized: bool = False,
-    use_contact: bool = True,
-    interpret: bool = False,
-):
-    """Build ``interval(carry, t0, dt, arrays) -> carry`` on quad planes."""
-
-    return core.build_verlet_interval(
-        N_FIXED_ARRAYS,
-        n_substeps,
-        _quad_energy_of(linearized, use_contact),
-        drive_values_fn,
-        interpret=interpret,
-    )
 
 
 def build_pallas_verlet_trajectory(

@@ -26,6 +26,7 @@ from typing import Callable
 import numpy as np
 import jax.numpy as jnp
 
+from difflexmm_tpu.ops import kagome_grid
 from difflexmm_tpu.ops.contact import contact_energy
 from difflexmm_tpu.ops.pallas import core
 from difflexmm_tpu.ops.pallas.verlet_grid import _angle, _ligament_planes
@@ -101,20 +102,11 @@ def scatter_matrix_planes(
 def split_bond_planes(value, n1: int, n2: int):
     """Scalar-or-(n_bonds,) bond quantity -> (internal, b1, b2) planes.
 
-    Bond ordering follows geometry/kagome.py connectivity (same split as
-    ops/kagome_grid.py:_split).
+    Delegates to ops/kagome_grid.py's splitter — the single source of truth
+    for the bond-family ordering of geometry/kagome.py connectivity.
     """
 
-    value = jnp.asarray(value)
-    if value.ndim == 0:
-        return value, value, value
-    n_int = n1 * n2
-    n_b1 = n1 * (n2 - 1)
-    return (
-        value[:n_int].reshape(n2, n1),
-        value[n_int:n_int + n_b1].reshape(n2 - 1, n1),
-        value[n_int + n_b1:].reshape(n2, n1 - 1),
-    )
+    return kagome_grid._split(value, n1, n2)
 
 
 def split_ref_planes(ref, n1: int, n2: int):
@@ -127,12 +119,8 @@ def split_ref_planes(ref, n1: int, n2: int):
             jnp.broadcast_to(ref[:, None, None], (2, n2 - 1, n1)),
             jnp.broadcast_to(ref[:, None, None], (2, n2, n1 - 1)),
         )
-    n_int = n1 * n2
-    n_b1 = n1 * (n2 - 1)
-    return (
-        jnp.moveaxis(ref[:n_int].reshape(n2, n1, 2), -1, 0),
-        jnp.moveaxis(ref[n_int:n_int + n_b1].reshape(n2 - 1, n1, 2), -1, 0),
-        jnp.moveaxis(ref[n_int + n_b1:].reshape(n2, n1 - 1, 2), -1, 0),
+    return tuple(
+        jnp.moveaxis(r, -1, 0) for r in kagome_grid._split_ref(ref, n1, n2)
     )
 
 

@@ -60,4 +60,8 @@ def main(n_iterations: int = 10, out_dir: str = "out") -> None:
 
 
 if __name__ == "__main__":
-    main(*(int(a) if a.isdigit() else a for a in sys.argv[1:3]))
+    argv = sys.argv[1:3]
+    main(
+        n_iterations=int(argv[0]) if argv else 10,
+        out_dir=argv[1] if len(argv) > 1 else "out",
+    )
