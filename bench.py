@@ -1,11 +1,14 @@
 """Headline benchmark: forward+adjoint wall-clock per optimization iteration
-on the canonical quads-focusing problem (24x16 lattice, 200 timepoints —
-the paper's problem size, BASELINE.md row 2).
+on the paper's flagship quads-focusing problem.
 
-Baseline: the reference runs JAX-on-CPU (float64, adaptive odeint) at
-<= 6 min per fwd+adjoint+constraints MMA iteration for its published
-results (BASELINE.md: 80 iterations under an 8 h cap). We use 360 s/iter as
-the baseline number; vs_baseline = 360 / our_seconds_per_iteration.
+The physics is the PAPER configuration (reference
+notebooks/quads_focusing_3dp_pla_shims.ipynb cell 8: 24x16 quads, units
+mm/N/s, raised-cosine pulse, 200 timepoints) — identical to the config used
+to MEASURE the reference baseline (tools/measure_reference_baseline.py ->
+BASELINE_MEASURED.json, reference code on CPU float64, odeint atol=1e-4).
+So numerator and denominator time the same simulation; accuracy of the
+fixed-step configuration vs the odeint oracle is gated by
+tools/accuracy_gate.py -> ACCURACY.json and tests/test_regression.py.
 
 Prints ONE JSON line.
 """
@@ -13,15 +16,75 @@ Prints ONE JSON line.
 import json
 import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 
+REPO = Path(__file__).resolve().parent
 
-BASELINE_SECONDS_PER_ITERATION = 360.0
+# Measured fallback if BASELINE_MEASURED.json is absent: see that file /
+# tools/measure_reference_baseline.py (reference code, paper config, CPU f64).
+_BASELINE_FALLBACK_SECONDS = 17.8
+
+# Chosen from the ACCURACY.json substep sweep (tools/accuracy_gate.py).
+BENCH_N_SUBSTEPS = 10
 
 
-def build_flagship(method=None):
+def baseline_seconds() -> float:
+    try:
+        measured = json.loads((REPO / "BASELINE_MEASURED.json").read_text())
+        return float(measured["fwd_adjoint_seconds_per_iteration"])
+    except (OSError, KeyError, ValueError):
+        return _BASELINE_FALLBACK_SECONDS
+
+
+def paper_config(method: str, n_substeps: int) -> dict:
+    """The paper flagship ForwardProblem kwargs (notebook cell 8, mm/N/s)."""
+
+    n1_blocks, n2_blocks = 24, 16
+    spacing = 15.0  # mm
+    k_stretch = 120.0  # N/mm
+    k_shear = 1.19  # N/mm
+    k_rot = 1.50  # N mm
+    density = 6.18e-9  # Mg/mm^2
+    frequency = 30.0  # Hz
+    # Rayleigh-style per-DOF damping of the zero-angle rotated square
+    # (0.36125 / 0.02175026 = unit-square mass / rotational inertia factors).
+    damping = 0.0186 * jnp.array([
+        2 * (0.36125 * density * spacing**2 * k_shear) ** 0.5,
+        2 * (0.36125 * density * spacing**2 * k_shear) ** 0.5,
+        2 * (0.02175026 * density * spacing**4 * k_rot) ** 0.5,
+    ]) * jnp.ones((n1_blocks * n2_blocks, 3))
+    return dict(
+        n1_blocks=n1_blocks,
+        n2_blocks=n2_blocks,
+        spacing=spacing,
+        bond_length=0.15 * spacing,
+        k_stretch=k_stretch,
+        k_shear=k_shear,
+        k_rot=k_rot,
+        density=density,
+        damping=damping,
+        use_contact=True,
+        k_contact=k_rot,
+        min_angle=-15 * jnp.pi / 180,
+        cutoff_angle=-10 * jnp.pi / 180,
+        amplitude=0.5 * spacing,
+        loading_rate=frequency,
+        input_delay=0.1 / frequency,
+        n_excited_blocks=2,
+        loaded_side="left",
+        input_shift=0,
+        simulation_time=2 / frequency,
+        n_timepoints=200,
+        n_substeps=n_substeps,
+        method=method,
+        atol=1e-4,  # odeint backend only (the reference's tolerance)
+    )
+
+
+def build_flagship(method=None, n_substeps=BENCH_N_SUBSTEPS):
     from difflexmm_tpu.models.quads_focusing import (
         ForwardProblem,
         OptimizationProblem,
@@ -34,32 +97,12 @@ def build_flagship(method=None):
             "verlet_pallas" if jax.default_backend() == "tpu" else "verlet"
         )
 
-    problem = ForwardProblem(
-        n1_blocks=24,
-        n2_blocks=16,
-        spacing=1.0,
-        bond_length=0.1,
-        k_stretch=1.0,
-        k_shear=0.02,
-        k_rot=1e-3,
-        density=1.0,
-        damping=0.02,
-        amplitude=0.2,
-        loading_rate=0.5,  # pulse spans ~2 lattice transit units
-        input_delay=0.0,
-        n_excited_blocks=4,
-        loaded_side="left",
-        input_shift=0,
-        # Wave speed ~ spacing*sqrt(k/m) ~ 1.1: the pulse crosses the
-        # half-lattice to the central target and keeps ringing.
-        simulation_time=20.0,
-        n_timepoints=200,
-        n_substeps=10,
-        method=method,
+    problem = ForwardProblem(**paper_config(method, n_substeps))
+    optimization = OptimizationProblem(
+        problem, target_size=(2, 2), target_shift=(4, 5)
     )
-    optimization = OptimizationProblem(problem, target_size=(3, 3))
     optimization.setup_objective()
-    design = problem.geometry.get_design_from_rotated_square(0.25)
+    design = problem.geometry.get_design_from_rotated_square(25 * jnp.pi / 180)
     return optimization, design
 
 
@@ -76,31 +119,40 @@ def _measure(method=None):
     for _ in range(n_reps):
         val, grad = value_and_grad(design)
         jax.block_until_ready((val, grad))
-    return (time.perf_counter() - t0) / n_reps
+    return (time.perf_counter() - t0) / n_reps, float(val)
 
 
 def main():
     try:
-        seconds_per_iteration = _measure()
+        seconds_per_iteration, objective = _measure()
     except Exception as error:  # pragma: no cover - environment safety net
         # If the Pallas path ever fails to compile in a new environment,
         # still report the XLA verlet number rather than nothing.
         sys.stderr.write(f"bench: default path failed ({error}); "
                          f"falling back to method='verlet'\n")
-        seconds_per_iteration = _measure("verlet")
+        seconds_per_iteration, objective = _measure("verlet")
 
-    print(
-        json.dumps(
-            {
-                "metric": "quads_focusing_fwd_adjoint_seconds_per_opt_iteration",
-                "value": round(seconds_per_iteration, 4),
-                "unit": "s",
-                "vs_baseline": round(
-                    BASELINE_SECONDS_PER_ITERATION / seconds_per_iteration, 2
-                ),
-            }
+    base = baseline_seconds()
+    record = {
+        "metric": "quads_focusing_fwd_adjoint_seconds_per_opt_iteration",
+        "value": round(seconds_per_iteration, 4),
+        "unit": "s",
+        "vs_baseline": round(base / seconds_per_iteration, 2),
+        "baseline_seconds_measured": round(base, 3),
+        "objective_f32": objective,
+    }
+    # One-line f32-vs-f64 drift report against the reference's odeint
+    # objective at the identical paper config (BASELINE_MEASURED.json).
+    try:
+        ref_obj = json.loads(
+            (REPO / "BASELINE_MEASURED.json").read_text()
+        )["objective_value"]
+        record["objective_rel_err_vs_reference_f64"] = round(
+            abs(objective - ref_obj) / abs(ref_obj), 6
         )
-    )
+    except (OSError, KeyError, ValueError):
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ from difflexmm_tpu.ops.pallas.core import normalize_arrays  # re-export
 # ks_h, ksh_h, kr_h (n2,n1-1 or (1,1)), ks_v, ksh_v, kr_v,
 # cmin, ccut, kc (1,1), inertia_planes (3,n2,n1), damping_planes (3,n2,n1),
 # free_mask_planes (3,n2,n1), S_planes (3*n2*n1, k)
+# [+ S_load (3*n2*n1, m) appended when force loading is fused].
 N_FIXED_ARRAYS = 17
 
 
@@ -65,13 +66,15 @@ def fields_from_planes(out: jnp.ndarray, n_blocks: int) -> jnp.ndarray:
 
 
 def scatter_matrix_planes(
-    n1: int, n2: int, constrained_blocks, constrained_dofs
+    n1: int, n2: int, constrained_blocks, constrained_dofs, combine: str = "last"
 ) -> jnp.ndarray:
     """One-hot (3*n2*n1, k) matrix emitting component-major plane layout.
 
-    Duplicate [block, DOF] pairs (e.g. a block both driven and clamped)
-    keep only the LAST column — matching the general path's
-    ``.at[].set`` scatter, where the later pair wins, instead of summing.
+    ``combine="last"``: duplicate [block, DOF] pairs (e.g. a block both
+    driven and clamped) keep only the LAST column — matching the general
+    path's ``.at[].set`` scatter, where the later pair wins.
+    ``combine="add"``: duplicates sum — matching ``build_loading``'s
+    ``.at[].add`` force scatter.
     """
 
     k = max(len(constrained_blocks), 1)
@@ -80,7 +83,11 @@ def scatter_matrix_planes(
     for col, (b, d) in enumerate(zip(np.asarray(constrained_blocks),
                                      np.asarray(constrained_dofs))):
         j, i = divmod(int(b), n1)
-        last_col[int(d) * n2 * n1 + j * n1 + i] = col
+        row = int(d) * n2 * n1 + j * n1 + i
+        if combine == "add":
+            S[row, col] += 1.0
+        else:
+            last_col[row] = col
     for row, col in last_col.items():
         S[row, col] = 1.0
     return jnp.asarray(S)
@@ -191,8 +198,9 @@ def _quad_energy_of(linearized: bool, use_contact: bool) -> Callable:
     """Bind quad_grid_energy_planes to the fixed-leaves convention."""
 
     def energy_of(U, fixed):
+        # The tail (inertia, damping, mask, S[, S_load]) is solver data.
         (cnv, centroids, ref_h, ref_v, ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
-         cmin, ccut, kc, _inertia, _damping, _mask, _S) = fixed
+         cmin, ccut, kc) = fixed[:13]
         return quad_grid_energy_planes(
             U, cnv, centroids, ref_h, ref_v,
             ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
@@ -209,17 +217,24 @@ def build_pallas_verlet_trajectory(
     n_substeps: int,
     n_timepoints: int,
     drive_values_fn: Callable,
+    load_values_fn: Callable = None,
     linearized: bool = False,
     use_contact: bool = True,
     interpret: bool = False,
+    chunk: int = None,
 ):
-    """Whole-trajectory fused quad kernel; see core.build_verlet_trajectory."""
+    """Chunked whole-trajectory fused quad kernel; see
+    core.build_verlet_trajectory. ``load_values_fn`` fuses time-dependent
+    force loading (fixed leaves gain a trailing S_load scatter)."""
 
+    n_fixed = N_FIXED_ARRAYS + (1 if load_values_fn is not None else 0)
     return core.build_verlet_trajectory(
-        N_FIXED_ARRAYS,
+        n_fixed,
         n_substeps,
         n_timepoints,
         _quad_energy_of(linearized, use_contact),
         drive_values_fn,
+        load_values_fn=load_values_fn,
         interpret=interpret,
+        chunk=chunk,
     )

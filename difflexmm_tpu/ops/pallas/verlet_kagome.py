@@ -14,11 +14,11 @@ gather-based assembly (difflexmm/energy.py:410-449 on
 geometry.py:607-801 connectivity); this kernel is the TPU-native
 equivalent, bit-matched to our general path by tests.
 
-vmap (multi-start) note: batching multiplies the VMEM-resident trajectory
-outputs — keep ``B * (T-1) * 6 * n2 * n1 * 4B * 3`` under the ~16 MB
-scoped-VMEM limit (e.g. B=4, T=100 on 16x16 cells → 46 ms/design on v5e).
-Larger fleets shard designs over the device mesh instead
-(parallel/scenarios.py), one design per chip.
+vmap (multi-start) note: trajectory outputs stream to HBM in chunks
+(core.build_verlet_trajectory), so batch size is bounded by HBM, not VMEM;
+under vmap the batch axis becomes the leading (batch-major) grid dimension.
+Fleets beyond one chip shard designs over the device mesh
+(parallel/scenarios.py).
 """
 
 from typing import Callable
@@ -39,6 +39,7 @@ from difflexmm_tpu.ops.pallas.verlet_grid import _angle, _ligament_planes
 #   ((n2,n1) / (n2-1,n1) / (n2,n1-1) or (1,1)),
 # cmin, ccut, kc (1,1), inertia (6,n2,n1), damping (6,n2,n1),
 # free_mask (6,n2,n1), S (6*n2*n1, k)
+# [+ S_load (6*n2*n1, m) appended when force loading is fused].
 N_FIXED_ARRAYS = 21
 
 
@@ -78,12 +79,13 @@ def centroids_to_planes(bc: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
 
 
 def scatter_matrix_planes(
-    n1: int, n2: int, constrained_blocks, constrained_dofs
+    n1: int, n2: int, constrained_blocks, constrained_dofs, combine: str = "last"
 ) -> jnp.ndarray:
     """One-hot (6*n2*n1, k) matrix emitting kagome plane layout.
 
-    Duplicate [block, DOF] pairs keep only the LAST column — matching the
-    general path's ``.at[].set`` scatter (later pair wins), not summing.
+    ``combine="last"``: duplicate [block, DOF] pairs keep only the LAST
+    column — matching the general path's ``.at[].set`` scatter (later pair
+    wins). ``combine="add"``: duplicates sum (``build_loading`` semantics).
     """
 
     k = max(len(constrained_blocks), 1)
@@ -93,7 +95,11 @@ def scatter_matrix_planes(
                                      np.asarray(constrained_dofs))):
         cell, tri = divmod(int(b), 2)
         j, i = divmod(cell, n1)
-        last_col[(tri * 3 + int(d)) * n2 * n1 + j * n1 + i] = col
+        row = (tri * 3 + int(d)) * n2 * n1 + j * n1 + i
+        if combine == "add":
+            S[row, col] += 1.0
+        else:
+            last_col[row] = col
     for row, col in last_col.items():
         S[row, col] = 1.0
     return jnp.asarray(S)
@@ -232,9 +238,10 @@ def _kagome_energy_of(linearized: bool, use_contact: bool) -> Callable:
     """Bind kagome_grid_energy_planes to the fixed-leaves convention."""
 
     def energy_of(U, fixed):
+        # The tail (inertia, damping, mask, S[, S_load]) is solver data.
         (cnv, centroids, ref_i, ref_b1, ref_b2,
          ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
-         cmin, ccut, kc, _inertia, _damping, _mask, _S) = fixed
+         cmin, ccut, kc) = fixed[:17]
         return kagome_grid_energy_planes(
             U, cnv, centroids, ref_i, ref_b1, ref_b2,
             ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
@@ -251,17 +258,23 @@ def build_pallas_kagome_trajectory(
     n_substeps: int,
     n_timepoints: int,
     drive_values_fn: Callable,
+    load_values_fn: Callable = None,
     linearized: bool = False,
     use_contact: bool = True,
     interpret: bool = False,
+    chunk: int = None,
 ):
-    """Whole-trajectory fused kagome kernel; see core.build_verlet_trajectory."""
+    """Chunked whole-trajectory fused kagome kernel; see
+    core.build_verlet_trajectory."""
 
+    n_fixed = N_FIXED_ARRAYS + (1 if load_values_fn is not None else 0)
     return core.build_verlet_trajectory(
-        N_FIXED_ARRAYS,
+        n_fixed,
         n_substeps,
         n_timepoints,
         _kagome_energy_of(linearized, use_contact),
         drive_values_fn,
+        load_values_fn=load_values_fn,
         interpret=interpret,
+        chunk=chunk,
     )

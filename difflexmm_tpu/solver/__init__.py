@@ -5,4 +5,7 @@ from difflexmm_tpu.solver.integrate import (  # noqa: F401
     rk4_step,
     substeps_for,
 )
-from difflexmm_tpu.solver.modal import linear_mode_analysis  # noqa: F401
+from difflexmm_tpu.solver.modal import (  # noqa: F401
+    eigenmode_analysis,
+    linear_mode_analysis,
+)

@@ -230,11 +230,9 @@ def setup_dynamic_solver(
                 "method='verlet_pallas' requires quad_grid={'n1':..., "
                 "'n2':...} or kagome_grid={'n1':..., 'n2':...}."
             )
-        if loaded_block_DOF_pairs is not None and loading_fn is not None:
-            raise NotImplementedError(
-                "verlet_pallas supports driven constraints + damping; "
-                "force loading is not fused yet — use method='verlet'."
-            )
+        has_pallas_loading = (
+            loaded_block_DOF_pairs is not None and loading_fn is not None
+        )
         is_kagome = kagome_grid is not None
         if is_kagome:
             from difflexmm_tpu.ops.pallas.core import normalize_arrays
@@ -265,6 +263,15 @@ def setup_dynamic_solver(
         S = _scatter_matrix(
             g_n1, g_n2, dof_set.constrained_blocks, dof_set.constrained_dofs
         )
+        if has_pallas_loading:
+            _load_pairs = np.asarray(
+                loaded_block_DOF_pairs, dtype=np.int64
+            ).reshape(-1, 2)
+            # build_loading sums duplicate pairs (.at[].add) — mirror that.
+            S_load = _scatter_matrix(
+                g_n1, g_n2, _load_pairs[:, 0], _load_pairs[:, 1], combine="add"
+            )
+            _n_loaded = len(_load_pairs)
         if damped_blocks is not None:
             _p_damping_coeffs = build_damping_coefficients(n_blocks, damped_blocks)
         else:
@@ -273,17 +280,39 @@ def setup_dynamic_solver(
 
         _interval_cache = {}
 
-        def _pallas_trajectory_for(keys, n_timepoints, example_drive_args, dtype):
-            """Whole-trajectory kernel for a given constraint-params key set
-            and output-grid length (cache key includes both).
+        def _hoist_consts(raw_fn, example_args, dtype):
+            """Hoist every closed-over constant of a user closure (e.g. its
+            drive scatter vector) into explicit kernel arguments — Pallas
+            kernels cannot capture constants — by re-evaluating its jaxpr
+            with the consts appended after the user args."""
 
-            The user drive closure may capture constant arrays (e.g. the
-            drive scatter vector); Pallas kernels cannot capture constants,
-            so ``jax.closure_convert`` hoists them into explicit arguments
-            appended after the drive args.
-            """
+            closed = jax.make_jaxpr(raw_fn)(
+                jnp.zeros((), dtype), *example_args
+            )
+            n_user_args = 1 + len(example_args)
 
-            cache_key = (keys, n_timepoints)
+            def converted(t, *all_args):
+                args = all_args[: n_user_args - 1]
+                hoisted = all_args[n_user_args - 1:]
+                (out,) = jax.core.eval_jaxpr(closed.jaxpr, hoisted, t, *args)
+                return out
+
+            consts = tuple(
+                jnp.asarray(c, dtype)
+                if jnp.issubdtype(jnp.asarray(c).dtype, jnp.floating)
+                else jnp.asarray(c)
+                for c in closed.consts
+            )
+            return converted, consts
+
+        def _pallas_trajectory_for(
+            keys, lkeys, n_timepoints, example_drive_args, example_load_args,
+            dtype,
+        ):
+            """Whole-trajectory kernel for a given constraint/loading params
+            key set and output-grid length (cache key includes all)."""
+
+            cache_key = (keys, lkeys, n_timepoints)
             if cache_key not in _interval_cache:
                 def raw_drive(t, *args):
                     # Drive args arrive Pallas-shaped ((1,1) scalars);
@@ -295,34 +324,34 @@ def setup_dynamic_solver(
                         values, (max(dof_set.n_constrained, 1),)
                     )
 
-                # Hoist every closed-over constant of the user drive (e.g.
-                # its drive scatter vector) into explicit kernel inputs by
-                # re-evaluating its jaxpr with the consts as arguments.
-                closed = jax.make_jaxpr(raw_drive)(
-                    jnp.zeros((), dtype), *example_drive_args
+                drive_conv, drive_consts = _hoist_consts(
+                    raw_drive, example_drive_args, dtype
                 )
-                n_user_args = 1 + len(example_drive_args)
 
-                def converted(t, *all_args):
-                    args = all_args[: n_user_args - 1]
-                    hoisted = all_args[n_user_args - 1:]
-                    (out,) = jax.core.eval_jaxpr(
-                        closed.jaxpr, hoisted, t, *args
+                load_conv, load_consts = None, ()
+                if has_pallas_loading:
+                    def raw_load(t, *args):
+                        # Fused loading is time-dependent only: the user fn
+                        # is called with state=None so a state-dependent fn
+                        # fails loudly at trace time (use method='verlet').
+                        values = jnp.asarray(
+                            loading_fn(None, t, **dict(zip(lkeys, args)))
+                        ).reshape(-1)
+                        return jnp.broadcast_to(values, (_n_loaded,))
+
+                    load_conv, load_consts = _hoist_consts(
+                        raw_load, example_load_args, dtype
                     )
-                    return out
 
-                consts = tuple(
-                    jnp.asarray(c, dtype)
-                    if jnp.issubdtype(jnp.asarray(c).dtype, jnp.floating)
-                    else jnp.asarray(c)
-                    for c in closed.consts
-                )
                 trajectory = _build_trajectory(
-                    g_n1, g_n2, n_substeps, n_timepoints, converted,
+                    g_n1, g_n2, n_substeps, n_timepoints, drive_conv,
+                    load_values_fn=load_conv,
                     linearized=g_linearized, use_contact=g_contact,
                     interpret=pallas_interpret,
                 )
-                _interval_cache[cache_key] = (trajectory, consts)
+                _interval_cache[cache_key] = (
+                    trajectory, drive_consts, load_consts
+                )
             return _interval_cache[cache_key]
 
         def _pallas_arrays(control_params, inertia, dtype):
@@ -338,6 +367,11 @@ def setup_dynamic_solver(
                 cmin, ccut, kc = 0.0, 1.0, 0.0
             keys = tuple(sorted(control_params.constraint_params.keys()))
             drive_args = [control_params.constraint_params[k] for k in keys]
+            loading_params = control_params.loading_params or {}
+            lkeys = tuple(sorted(loading_params.keys()))
+            load_args = (
+                [loading_params[k] for k in lkeys] if has_pallas_loading else None
+            )
 
             common_tail = (
                 cmin, ccut, kc,
@@ -346,6 +380,8 @@ def setup_dynamic_solver(
                 _to_planes(dof_set.free_mask, g_n1, g_n2),
                 S,
             )
+            if has_pallas_loading:
+                common_tail = common_tail + (S_load,)
 
             if is_kagome:
                 bp = mp.bond_params
@@ -383,7 +419,9 @@ def setup_dynamic_solver(
                     ref_planes(ref_v, (g_n2 - 1, g_n1)),
                     ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
                 ) + common_tail
-            return keys, normalize_arrays(fixed, drive_args, dtype)
+            return keys, lkeys, normalize_arrays(
+                fixed, drive_args, dtype, load_args=load_args
+            )
 
     def solve_dynamics(
         state0: jnp.ndarray, timepoints: jnp.ndarray, control_params: ControlParams
@@ -394,18 +432,32 @@ def setup_dynamic_solver(
         y0 = jnp.asarray(state0) * dof_set.free_mask
 
         if method == "verlet_pallas":
-            keys, arrays = _pallas_arrays(control_params, inertia, y0.dtype)
-            trajectory, drive_consts = _pallas_trajectory_for(
-                keys, len(timepoints), arrays[-1], y0.dtype
+            keys, lkeys, arrays = _pallas_arrays(
+                control_params, inertia, y0.dtype
             )
-            arrays = arrays[:-1] + (arrays[-1] + drive_consts,)
+            if has_pallas_loading:
+                example_drive, example_load = arrays[-2], arrays[-1]
+            else:
+                example_drive, example_load = arrays[-1], ()
+            trajectory, drive_consts, load_consts = _pallas_trajectory_for(
+                keys, lkeys, len(timepoints), example_drive, example_load,
+                y0.dtype,
+            )
+            if has_pallas_loading:
+                arrays = arrays[:-2] + (
+                    arrays[-2] + drive_consts,
+                    arrays[-1] + load_consts,
+                )
+            else:
+                arrays = arrays[:-1] + (arrays[-1] + drive_consts,)
             U0 = _to_planes(y0[0], g_n1, g_n2)
             V0 = _to_planes(y0[1], g_n1, g_n2)
-            # Fixed leaves end with (inertia, damping, mask, S); arrays'
-            # last element is the drive tuple.
-            inertia_p = arrays[-5]
-            damping_c = arrays[-4]
-            mask_p = arrays[-3]
+            # Fixed leaves end with (inertia, damping, mask, S[, S_load]);
+            # the trailing elements are the drive (and load) tuples.
+            off = 2 if has_pallas_loading else 0
+            inertia_p = arrays[-5 - off]
+            damping_c = arrays[-4 - off]
+            mask_p = arrays[-3 - off]
             inv_m = mask_p / inertia_p
             F0 = trajectory.force_fn(U0, timepoints[0], arrays)
             A0 = (F0 - damping_c * V0) * inv_m

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from difflexmm_tpu.ops.assembly import constrain_energy
 from difflexmm_tpu.ops.kinematics import build_constrained_kinematics
 from difflexmm_tpu.solver.dynamics import _resolve_inertia
-from difflexmm_tpu.utils.types import ControlParams
+from difflexmm_tpu.utils.types import ControlParams, EigenmodeData
 
 _EMPTY_PAIRS = np.zeros((0, 2), dtype=np.int64)
 
@@ -62,3 +62,28 @@ def linear_mode_analysis(
     modes = jnp.zeros((len(free_idx), 3 * n_blocks))
     modes = modes.at[:, free_idx].set(modes_free)
     return eigenvalues, modes.reshape(len(free_idx), n_blocks, 3)
+
+
+def eigenmode_analysis(
+    displacement: jnp.ndarray,
+    geometry,
+    energy_fn,
+    control_params: ControlParams,
+    constrained_block_DOF_pairs=_EMPTY_PAIRS,
+) -> EigenmodeData:
+    """Modal analysis packaged as :class:`EigenmodeData` (ready for
+    ``plotting.plot_mode``), mirroring the reference's artifact shape
+    (reference difflexmm/utils.py:28-42, dynamics.py:189-245)."""
+
+    eigenvalues, modes = linear_mode_analysis(
+        displacement, geometry, energy_fn, control_params,
+        constrained_block_DOF_pairs=constrained_block_DOF_pairs,
+    )
+    return EigenmodeData(
+        block_centroids=control_params.geometrical_params.block_centroids,
+        centroid_node_vectors=(
+            control_params.geometrical_params.centroid_node_vectors
+        ),
+        eigenvalues=eigenvalues,
+        fields=modes,
+    )

@@ -48,3 +48,52 @@ def test_quads_focusing_objective_regression():
 
     assert jnp.allclose(value, GOLDEN_OBJECTIVE, rtol=1e-9), float(value)
     assert jnp.allclose(gradnorm, GOLDEN_GRADNORM, rtol=1e-8), float(gradnorm)
+
+
+def test_bench_config_accuracy():
+    """The headline bench config (paper physics, verlet n_substeps=10) is
+    accuracy-gated against the odeint oracle at the reference's optimization
+    tolerance (atol=1e-4).
+
+    Full-size evidence lives in ACCURACY.json (tools/accuracy_gate.py,
+    24x16/200tp: objective rel err 7.6e-5, cross-code parity vs the
+    reference implementation 7.1e-8). This test re-verifies the gate live
+    at a reduced lattice with the identical paper physics so the suite
+    catches regressions in minutes, and checks the committed full-size
+    artifact still satisfies the gate.
+    """
+
+    import json
+    from pathlib import Path
+
+    from bench import paper_config, BENCH_N_SUBSTEPS
+
+    artifact = json.loads(
+        (Path(__file__).resolve().parents[1] / "ACCURACY.json").read_text()
+    )
+    assert artifact["cross_code_objective_rel_err"] < 1e-6
+    full = artifact["verlet_substep_sweep"][str(BENCH_N_SUBSTEPS)]
+    assert full["objective_rel_err"] < 1e-4
+
+    # Live reduced-cost gate: the full paper lattice and step size, with the
+    # time window truncated to 50 output points at the IDENTICAL dt (same
+    # stability and per-step accuracy as the bench config, ~1/4 the cost).
+    def build(method, n_substeps):
+        cfg = paper_config(method, n_substeps)
+        dt_out = cfg["simulation_time"] / (cfg["n_timepoints"] - 1)
+        cfg.update(n_timepoints=50, simulation_time=49 * dt_out)
+        problem = ForwardProblem(**cfg)
+        opt = OptimizationProblem(problem, target_size=(2, 2), target_shift=(4, 5))
+        opt.setup_objective()
+        design = problem.geometry.get_design_from_rotated_square(
+            25 * jnp.pi / 180
+        )
+        return opt, design
+
+    opt_ode, design = build("odeint", BENCH_N_SUBSTEPS)
+    v_ode = jax.jit(opt_ode.objective_fn)(design)
+    opt_ver, _ = build("verlet", BENCH_N_SUBSTEPS)
+    v_ver = jax.jit(opt_ver.objective_fn)(design)
+    rel = abs(float(v_ver) - float(v_ode)) / abs(float(v_ode))
+    assert float(v_ode) > 0
+    assert rel < 2e-4, f"verlet bench config drifted from odeint: {rel:.2e}"
