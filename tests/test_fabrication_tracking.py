@@ -123,3 +123,208 @@ def test_damping_ratio_log_decrement():
     zeta, peaks = damping_ratio_log_decrement(signal)
     assert abs(zeta - zeta_true) / zeta_true < 0.05
     assert len(peaks) >= 5
+
+
+# ---------------------------------------------------------------------------
+# Layered cut drawings (reference scripts/fabrication.py parity)
+# ---------------------------------------------------------------------------
+
+from difflexmm_tpu.fabrication import (  # noqa: E402
+    blocks_continuous_bond_drawing,
+    blocks_cut_drawing,
+    chamfer_lines,
+    clamped_sample_drawing,
+    central_holes,
+    continuous_bond_lines,
+    grip_outlines,
+    grippable_sample_drawing,
+    polygon_union_outline,
+    shim_outlines,
+    shims_cut_drawing,
+    slot_lines,
+)
+from difflexmm_tpu.geometry import KagomeGeometry, RotatedSquareGeometry
+
+
+def _loop_area(p):
+    x, y = p[:, 0], p[:, 1]
+    return abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2
+
+
+def _rs_arrays(n1_cells=3, n2_cells=2, angle=0.3, spacing=10.0):
+    geo = RotatedSquareGeometry(n1_cells, n2_cells, spacing, bond_length=1.0)
+    bc, cnv, bonds, rbv = geo.get_parametrization()
+    return geo, np.asarray(bc(angle)), np.asarray(cnv(angle)), \
+        np.asarray(bonds()), np.asarray(rbv())
+
+
+def test_slot_lines_types():
+    geo, bc, cnv, bonds, rbv = _rs_arrays()
+    nodes = (cnv + bc[:, None, :]).reshape(-1, 2)
+    straight = slot_lines(bc, cnv, bonds, rbv, 0.5, "straight")
+    assert straight.shape == (len(bonds), 2, 2)
+    # Straight slots contain the bond segment, extended by slot_size.
+    lengths = np.linalg.norm(straight[:, 1] - straight[:, 0], axis=-1)
+    bond_lengths = np.linalg.norm(
+        nodes[bonds[:, 1]] - nodes[bonds[:, 0]], axis=-1
+    )
+    assert np.allclose(lengths, bond_lengths + 1.0, atol=1e-9)
+
+    for slot_type in ("centroid", "bisectrix"):
+        s = slot_lines(bc, cnv, bonds, rbv, 0.5, slot_type)
+        assert s.shape == (len(bonds), 4, 2)
+        # Middle two points are exactly the bond nodes.
+        assert np.allclose(s[:, 1], nodes[bonds[:, 0]], atol=1e-9)
+        assert np.allclose(s[:, 2], nodes[bonds[:, 1]], atol=1e-9)
+        # Outer stubs have length slot_size.
+        assert np.allclose(
+            np.linalg.norm(s[:, 0] - s[:, 1], axis=-1), 0.5, atol=1e-9
+        )
+
+
+def test_chamfer_lines_orthogonal_depth():
+    geo, bc, cnv, bonds, rbv = _rs_arrays()
+    depth = 0.4
+    lines = chamfer_lines(bc, cnv, bonds, rbv, depth)
+    # One chamfer per distinct bonded node.
+    assert len(lines) == len(np.unique(bonds))
+    # Every chamfer point sits at distance depth from the node measured
+    # along the bond direction (definition of depth/cos spacing).
+    nodes = (cnv + bc[:, None, :]).reshape(-1, 2)
+    node_ids = np.unique(bonds)
+    for line, node_id in zip(lines, node_ids):
+        bond_id = np.argwhere(bonds == node_id)[0][0]
+        u = rbv[bond_id] / np.linalg.norm(rbv[bond_id])
+        d = np.abs((line - nodes[node_id]) @ u)
+        assert np.allclose(d, depth, atol=1e-9)
+
+
+def test_central_holes_square_orientation():
+    bc = np.array([[0.0, 0.0], [5.0, 0.0]])
+    squares = central_holes(bc, 2.0, "square", np.pi / 4)
+    assert squares.shape == (2, 4, 2)
+    # Rotated square: vertices at distance sqrt(2) (half-diagonal of size-2).
+    r = np.linalg.norm(squares[0] - bc[0], axis=-1)
+    assert np.allclose(r, np.sqrt(2.0), atol=1e-12)
+    centers, radius = central_holes(bc, 2.0, "circle")
+    assert radius == 1.0 and np.allclose(centers, bc)
+
+
+def test_shim_outlines():
+    rects, holes, radius = shim_outlines(7, 20.0, 8.0, 2.0, n_rows=2)
+    assert len(rects) == 7 and len(holes) == 28 and radius == 1.0
+    # 2 rows: 3 in first, 4 in second (remainder goes to the last row).
+    assert (rects[:, :, 1].max(axis=1) > 21).sum() == 4
+
+
+def test_polygon_union_outline_cases():
+    from difflexmm_tpu.fabrication import _box
+
+    a, b = _box(0, 2, 0, 2), _box(1, 3, 1, 3)
+    assert abs(_loop_area(polygon_union_outline([a, b])) - 7.0) < 1e-4
+    # Degenerate contacts (shared edge, shared corner) must still union.
+    assert abs(_loop_area(polygon_union_outline([a, _box(2, 4, 0, 2)])) - 8.0) < 1e-3
+    assert abs(_loop_area(polygon_union_outline([a, _box(2, 4, 2, 4)])) - 8.0) < 1e-3
+    # Rotated triangle over a box.
+    tri = np.array([[1.0, 1.0], [4.0, 1.5], [2.0, 4.0]])
+    u = polygon_union_outline([a, tri])
+    assert _loop_area(u) > max(_loop_area(a), _loop_area(tri))
+
+
+def test_blocks_cut_drawing_layers(tmp_path):
+    geo, bc, cnv, bonds, rbv = _rs_arrays()
+    d = blocks_cut_drawing(
+        bc, cnv, bonds, rbv, 0.5, tmp_path / "blocks.svg",
+        slot_type="bisectrix", chamfer_depth=0.3, block_hole_size=1.0,
+    )
+    assert len(d.polygons) == geo.n_blocks
+    assert len(d.circles) == geo.n_blocks
+    n_chamfers = len(np.unique(bonds))
+    assert len(d.polylines) == len(bonds) + n_chamfers
+    svg = (tmp_path / "blocks.svg").read_text()
+    assert svg.count("<circle") == geo.n_blocks
+    assert 'stroke="red"' in svg and 'stroke="blue"' in svg
+
+
+def test_kagome_cut_drawing(tmp_path):
+    geo = KagomeGeometry(4, 3, bond_length=0.1)
+    bc, cnv, bonds, rbv = geo.get_parametrization()
+    design = geo.zero_design()
+    d = blocks_cut_drawing(
+        np.asarray(bc(*design)), np.asarray(cnv(*design)),
+        np.asarray(bonds()), np.asarray(rbv()),
+        0.05, tmp_path / "kagome.svg", slot_type="centroid",
+    )
+    assert len(d.polygons) == geo.n_blocks
+    assert len(d.polylines) == len(bonds())
+
+
+def test_grip_outlines_and_drawing(tmp_path):
+    geo, bc, cnv, bonds, rbv = _rs_arrays()
+    d = grippable_sample_drawing(
+        geo, 0.3, hinge_length=2.0, slot_size=0.5, grip_width=15.0,
+        grip_lateral_spacing=3.0, out_file=tmp_path / "grip.svg",
+        grip_hole_size=3.0,
+    )
+    # blocks + 2 grips; slots + 2 extra grip slot rows; 8 grip bolt holes
+    assert len(d.polygons) == geo.n_blocks + 2
+    assert len(d.polylines) == len(bonds) + 2 * geo.n1_blocks
+    assert len(d.circles) == 8
+    grips, holes, radius = grip_outlines(
+        (0.0, 10.0), (0.0, 8.0), 1.0, 5.0, 2.0, hole_size=2.0
+    )
+    assert grips.shape == (2, 6, 2) and holes.shape == (8, 2)
+    # Top grip sits above the sample, bottom grip below.
+    assert grips[0][:, 1].max() > 8.0 and grips[1][:, 1].min() < 0.0
+
+
+def test_clamped_sample_drawing(tmp_path):
+    geo, bc, cnv, bonds, rbv = _rs_arrays(4, 3, 0.35, 20.0)
+    ncc = 3
+    d = clamped_sample_drawing(
+        geo, bc, cnv, bonds, rbv, slot_size=1.0,
+        n_blocks_clamped_corners=ncc, attachment_size=(30.0, 30.0),
+        attachment_hole_size=6.0, out_file=tmp_path / "clamped.svg",
+        hole_size=2.0,
+    )
+    n_corner_blocks = 4 * (2 * ncc - 1)
+    # Interior blocks drawn individually + 4 merged clamp outlines.
+    assert len(d.polygons) == geo.n_blocks - n_corner_blocks + 4
+    # 4 attachment holes + interior marker holes.
+    assert len(d.circles) == 4 + geo.n_blocks - n_corner_blocks
+    # Each clamp outline must cover its wedge blocks and the bolt pad.
+    clamp_outlines = [p for p, _ in d.polygons[-4:]]
+    blocks_area = _loop_area(
+        (cnv + bc[:, None, :])[0]
+    )
+    for outline in clamp_outlines:
+        assert _loop_area(outline) > (2 * ncc - 1) * blocks_area
+
+    # Oversized plate must raise.
+    with pytest.raises(ValueError):
+        clamped_sample_drawing(
+            geo, bc, cnv, bonds, rbv, 1.0, ncc, (30.0, 30.0), 6.0,
+            max_plate_size=(50.0, 50.0),
+        )
+
+
+def test_continuous_bond_drawing(tmp_path):
+    geo, bc, cnv, bonds, rbv = _rs_arrays()
+    lines = continuous_bond_lines(
+        bc, cnv, bonds, rbv, geo.n1_blocks, geo.n2_blocks,
+        offset_type="constant", offset_size=0.5,
+    )
+    n_boundary = 2 * geo.n1_blocks + 2 * geo.n2_blocks
+    # bonds + 2 internal segments per block + boundary stubs + closing chain
+    assert len(lines) == len(bonds) + 2 * geo.n_blocks + 2 * n_boundary
+    d = blocks_continuous_bond_drawing(
+        bc, cnv, bonds, rbv, geo.n1_blocks, geo.n2_blocks,
+        out_file=tmp_path / "cont.svg", offset_type="ratio", offset_size=0.1,
+    )
+    assert len(d.polygons) == geo.n_blocks
+
+
+def test_shims_cut_drawing(tmp_path):
+    d = shims_cut_drawing(6, 20.0, 8.0, 2.0, tmp_path / "shims.svg", n_rows=3)
+    assert len(d.polygons) == 6 and len(d.circles) == 24
+    assert (tmp_path / "shims.svg").read_text().startswith("<svg")
