@@ -328,3 +328,128 @@ def test_shims_cut_drawing(tmp_path):
     d = shims_cut_drawing(6, 20.0, 8.0, 2.0, tmp_path / "shims.svg", n_rows=3)
     assert len(d.polygons) == 6 and len(d.circles) == 24
     assert (tmp_path / "shims.svg").read_text().startswith("<svg")
+
+
+# ---------------------------------------------------------------------------
+# Tracking parity: xcorr tracker, preprocessing, threshold picker, damping fit
+# ---------------------------------------------------------------------------
+
+from difflexmm_tpu.tracking import (  # noqa: E402
+    find_markers_xcorr,
+    fit_damped_oscillation,
+    get_contour_centroids,
+    interpolate_nans,
+    pick_threshold,
+    preprocess_frame,
+    smooth_fields_convolution,
+    smooth_fields_savgol,
+)
+
+
+def _marker_frame(positions, size=128, radius=4, blur=True):
+    """Synthetic grayscale frame with Gaussian-ish bright markers at
+    subpixel positions (rendered on a 4x supersampled grid)."""
+
+    cv2 = pytest.importorskip("cv2")
+    ss = 4
+    frame = np.zeros((size * ss, size * ss), dtype=np.uint8)
+    for x, y in positions:
+        cv2.circle(frame, (int(round(x * ss)), int(round(y * ss))), radius * ss, 255, -1)
+    frame = cv2.resize(frame, (size, size), interpolation=cv2.INTER_AREA)
+    if blur:
+        frame = cv2.GaussianBlur(frame, (5, 5), 0)
+    return frame
+
+
+def test_find_markers_xcorr_subpixel():
+    pytest.importorskip("cv2")
+    base = np.array([[40.0, 40.0], [80.0, 60.0], [50.0, 90.0]])
+    shift = np.array([2.4, -1.6])
+    f0 = _marker_frame(base)
+    f1 = _marker_frame(base + shift)
+    found = find_markers_xcorr(f0, f1, base, base)
+    err = np.linalg.norm(found - (base + shift), axis=-1)
+    assert err.max() < 0.35  # sub-pixel at 5x upscaling
+
+
+def test_preprocess_and_contours_roi():
+    pytest.importorskip("cv2")
+    base = np.array([[30.0, 30.0], [90.0, 90.0]])
+    frame = _marker_frame(base, radius=5)
+    mask = preprocess_frame(frame, blur_size=3, threshold=100)
+    assert mask.dtype == np.uint8 and set(np.unique(mask)) <= {0, 255}
+    cents = get_contour_centroids(frame, threshold=100, block_area=(10, 1e4))
+    assert len(cents) == 2
+    # ROI excludes the second marker; centroid still in full-frame coords.
+    cents_roi = get_contour_centroids(
+        frame, roi_xy=((0, 64), (0, 64)), threshold=100, block_area=(10, 1e4)
+    )
+    assert len(cents_roi) == 1
+    assert np.linalg.norm(cents_roi[0] - base[0]) < 1.0
+
+
+def test_pick_threshold_plateau():
+    pytest.importorskip("cv2")
+    frame = _marker_frame(np.array([[30.0, 30.0], [90.0, 90.0], [30.0, 90.0]]),
+                          radius=5)
+    th, table = pick_threshold(frame, expected_count=3, block_area=(10, 1e4))
+    assert len(get_contour_centroids(frame, threshold=th, block_area=(10, 1e4))) == 3
+    assert table.shape[1] == 2
+
+
+def test_fit_damped_oscillation():
+    framerate = 1000.0
+    t = np.arange(4000) / framerate
+    zeta, f_d = 0.04, 25.0
+    omega_d = 2 * np.pi * f_d
+    omega_n = omega_d / np.sqrt(1 - zeta**2)
+    angle = 0.3 * np.exp(-zeta * omega_n * t) * np.cos(omega_d * t) + 0.05
+    result = fit_damped_oscillation(angle, framerate, peak_distance=12)
+    assert abs(result["zeta"] - zeta) / zeta < 0.05
+    assert abs(result["frequency_d"] - f_d) / f_d < 0.02
+    assert result["log_slope"] < 0
+
+
+def test_interpolate_nans_and_smoothing():
+    t = np.linspace(0, 1, 50)
+    clean = np.stack([np.sin(2 * np.pi * t), np.cos(2 * np.pi * t)], axis=1)
+    gappy = clean.copy()
+    gappy[10:13, 0] = np.nan
+    gappy[30, 1] = np.nan
+    filled = interpolate_nans(gappy)
+    assert not np.isnan(filled).any()
+    assert np.abs(filled - clean).max() < 0.05  # linear interp on smooth data
+
+    noisy = clean + 0.05 * np.sin(40 * np.pi * t)[:, None]
+    for smoothed in (
+        smooth_fields_convolution(noisy, kernel_size=5),
+        smooth_fields_savgol(noisy, window_length=7, polyorder=2),
+    ):
+        assert smoothed.shape == noisy.shape
+        mid = slice(5, -5)
+        assert (
+            np.abs(smoothed - clean)[mid].mean()
+            < np.abs(noisy - clean)[mid].mean()
+        )
+
+
+def test_track_video_xcorr_synthetic(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from difflexmm_tpu.tracking import track_video_xcorr
+
+    base = np.array([[40.0, 40.0], [80.0, 60.0]])
+    video = tmp_path / "markers.avi"
+    writer = cv2.VideoWriter(
+        str(video), cv2.VideoWriter_fourcc(*"MJPG"), 30, (128, 128), False
+    )
+    n_frames, v = 12, np.array([0.8, 0.5])
+    for k in range(n_frames):
+        writer.write(_marker_frame(base + k * v))
+    writer.release()
+
+    paths = track_video_xcorr(video, base, search_window_size=30,
+                              marker_template_size=14)
+    assert paths.shape == (n_frames, 2, 2)
+    # Recovered motion matches the imposed linear drift to sub-pixel.
+    expected = base[None] + np.arange(n_frames)[:, None, None] * v
+    assert np.abs(paths - expected).max() < 0.6
