@@ -25,3 +25,12 @@ if os.environ.get("DIFFLEXMM_TESTS_TPU", "0") != "1":
     # to keep the real TPU backend (enables tests/test_tpu_parity.py).
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+if os.environ.get("DIFFLEXMM_TESTS_NO_CACHE", "0") != "1":
+    # The suite's wall-clock is dominated by XLA:CPU compiles of
+    # grad-through-scan programs (this box exposes one core); a persistent
+    # compilation cache makes re-runs of unchanged tests fast.
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,6 +1,7 @@
 """End-to-end model test: quads focusing forward + inverse design (tiny)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from difflexmm_tpu.models.quads_focusing import ForwardProblem, OptimizationProblem
@@ -52,6 +53,7 @@ def test_forward_solve_and_response_data():
     assert bool(jnp.all(jnp.isfinite(response["strain_energy_shear"])))
 
 
+@pytest.mark.slow
 def test_objective_gradient_and_optimization_step():
     problem = _tiny_problem()
     opt = OptimizationProblem(problem, target_size=(2, 2))

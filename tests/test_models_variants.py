@@ -34,6 +34,7 @@ def _tiny_forward(**overrides):
     return ForwardProblem(**params)
 
 
+@pytest.mark.slow
 def test_energy_splitting_objective():
     from difflexmm_tpu.models.quads_energy_splitting import OptimizationProblem
 
@@ -88,6 +89,7 @@ def test_spin_objective():
     assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(g))
 
 
+@pytest.mark.slow
 def test_restricted_space_reduced_design():
     from difflexmm_tpu.models.quads_focusing_restricted_space import (
         OptimizationProblem,
@@ -148,6 +150,7 @@ def test_reference_design_forward():
     assert float(jnp.max(jnp.abs(solution.fields))) > 1e-3
 
 
+@pytest.mark.slow
 def test_kagome_focusing_forward_and_grad():
     from difflexmm_tpu.models.kagome_focusing import (
         ForwardProblem as KagomeForward,
@@ -187,6 +190,7 @@ def test_kagome_focusing_forward_and_grad():
     assert float(jnp.max(jnp.abs(sol.fields[:, 0, problem.driven_blocks_ids, 0]))) > 0.05
 
 
+@pytest.mark.slow
 def test_static_tuning_two_phase():
     from difflexmm_tpu.models.quads_static_tuning import (
         ForwardInput,
@@ -240,6 +244,7 @@ def test_static_tuning_two_phase():
     assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(g))
 
 
+@pytest.mark.slow
 def test_hinge_characterization_fit():
     from difflexmm_tpu.models.hinge_characterization import (
         ForwardProblem as HingeForward,

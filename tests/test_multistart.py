@@ -1,6 +1,7 @@
 """Batched multi-start optimization tests (vmap and mesh-sharded)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from difflexmm_tpu.parallel import (
@@ -40,6 +41,7 @@ def test_multistart_sharded_matches_vmap():
     assert jnp.allclose(r_vmap.best_design, r_mesh.best_design)
 
 
+@pytest.mark.slow
 def test_multistart_on_simulation():
     """Batched multi-start on a real (tiny) focusing problem."""
 

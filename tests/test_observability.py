@@ -1,5 +1,6 @@
 """Metrics logging, tracing, and checkpoint/resume tests."""
 
+import pytest
 import jax.numpy as jnp
 
 from difflexmm_tpu.utils.observability import (
@@ -38,6 +39,7 @@ def test_checkpoint_save_restore(tmp_path):
     assert snapshot["objective_values"] == [1.0, 2.0]
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_in_mma_runner(tmp_path):
     """A crashed MMA run resumes from its snapshot with histories intact."""
 

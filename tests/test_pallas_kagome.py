@@ -5,6 +5,7 @@ exercised by bench/driver runs on real hardware.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,7 @@ def _setup(method, n1=4, n2=3, n_substeps=8, k_arrays=False, **kwargs):
     return solve, state0, timepoints, cp, design, (bc, cnv)
 
 
+@pytest.mark.slow
 def test_kagome_pallas_matches_verlet():
     solve_ref, state0, timepoints, cp, *_ = _setup("verlet", k_arrays=True)
     solve_pal, *_ = _setup("verlet_pallas", k_arrays=True, pallas_interpret=True)
@@ -88,6 +90,7 @@ def test_kagome_pallas_matches_verlet():
     assert jnp.allclose(sol_pal, sol_ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_kagome_pallas_gradient_matches_verlet():
     solve_ref, state0, timepoints, cp, *_ = _setup("verlet")
     solve_pal, *_ = _setup("verlet_pallas", pallas_interpret=True)
@@ -109,6 +112,7 @@ def test_kagome_pallas_gradient_matches_verlet():
     assert jnp.allclose(g_pal, g_ref, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_kagome_pallas_design_gradient():
     """Design (hinge-shift) gradients flow through the kagome Pallas path."""
 
@@ -129,6 +133,7 @@ def test_kagome_pallas_design_gradient():
     assert float(jnp.linalg.norm(g)) > 0
 
 
+@pytest.mark.slow
 def test_kagome_focusing_model_pallas_parity():
     """The model's verlet_pallas method reproduces the verlet trajectory."""
 

@@ -74,6 +74,7 @@ def test_pallas_interval_matches_verlet():
     assert jnp.allclose(sol_pal, sol_ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_gradient_matches_verlet():
     solve_ref, state0, timepoints, cp, *_ = _setup("verlet")
     solve_pal, *_ = _setup("verlet_pallas", pallas_interpret=True)
@@ -128,6 +129,7 @@ def test_poly_arctan2_accuracy():
     assert jnp.allclose(g, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_chunked_grid_matches_verlet(monkeypatch):
     """Tiny VMEM budget forces a multi-chunk grid with a ragged last chunk;
     the streamed-output kernel must match the XLA path exactly."""
@@ -183,6 +185,7 @@ def test_pallas_vmap_designs_chunked(monkeypatch):
     assert jnp.allclose(sols_pal, sols_ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_force_loading_matches_verlet():
     """Fused time-dependent force loading (S_load scatter) == XLA verlet."""
 

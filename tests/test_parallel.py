@@ -1,6 +1,7 @@
 """Sharding tests on the 8-virtual-device CPU mesh."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import optax
 
@@ -40,6 +41,7 @@ def test_scenario_parallel_objective_matches_serial():
     assert jnp.allclose(g_sharded, g_serial)
 
 
+@pytest.mark.slow
 def test_scenario_objective_with_simulation():
     """Grad-through-shard_map on a real (tiny) dynamic simulation."""
 

@@ -6,6 +6,7 @@ gradient through the sharded objective.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from difflexmm_tpu.models.quads_static_tuning import (
@@ -36,6 +37,7 @@ def _problem():
     )
 
 
+@pytest.mark.slow
 def test_static_tuning_sharded_objective_matches_vmap():
     problem = _problem()
     problem.setup()
