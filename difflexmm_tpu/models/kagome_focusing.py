@@ -182,7 +182,7 @@ class ForwardProblem:
                 linearized=self.linearized_strains,
                 use_contact=self.use_contact,
             )
-            if self.method == "verlet_pallas"
+            if self.method in ("verlet_pallas", "verlet_ckpt")
             else None
         )
 

@@ -162,7 +162,7 @@ class ForwardProblem:
                 linearized=self.linearized_strains,
                 use_contact=self.use_contact,
             )
-            if self.method == "verlet_pallas"
+            if self.method in ("verlet_pallas", "verlet_ckpt")
             else None
         )
         solve_dynamics = setup_dynamic_solver(

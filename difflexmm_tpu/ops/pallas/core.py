@@ -243,6 +243,7 @@ def build_verlet_trajectory(
     load_values_fn: Optional[Callable] = None,
     interpret: bool = False,
     chunk: Optional[int] = None,
+    forward_impl: str = "pallas",
 ):
     """Chunked whole-trajectory fused kernel.
 
@@ -265,6 +266,15 @@ def build_verlet_trajectory(
             loading must use the XLA path.
         chunk: output intervals per grid step; default sized from the VMEM
             budget.
+        forward_impl: ``"pallas"`` (fused Mosaic kernel — fastest for
+            single designs and small batches, where per-step latency
+            dominates) or ``"xla"`` (a ``lax.scan`` of the identical
+            interval body — faster under large ``vmap`` batches, where XLA
+            re-layouts the batched planes to fill all 128 lanes while the
+            SoA kernel's (n2, n1) tiles stay mostly padding). Both produce
+            the same interval-boundary outputs, so the stored-state custom
+            vjp below (cheaper than XLA's remat-everything adjoint) is
+            shared.
     """
 
     T = n_timepoints
@@ -345,12 +355,28 @@ def build_verlet_trajectory(
     def xla_interval_t(carry, t0, t1, arrays):
         return body(carry[0], carry[1], carry[2], t0, (t1 - t0) / n_substeps, arrays)
 
+    def xla_forward(carry, timepoints, arrays):
+        """Same interval-boundary outputs as the Pallas kernel, as a plain
+        scan (vmap-friendly: XLA batches the planes across lanes)."""
+
+        def step(c, ts_pair):
+            t0, t1 = ts_pair
+            c1 = xla_interval_t(c, t0, t1, arrays)
+            return c1, c1
+
+        _, outs = lax.scan(
+            step, carry, (timepoints[:-1], timepoints[1:])
+        )
+        return tuple(outs)
+
+    forward = pallas_forward if forward_impl == "pallas" else xla_forward
+
     @jax.custom_vjp
     def trajectory(carry, timepoints, arrays):
-        return pallas_forward(carry, timepoints, arrays)
+        return forward(carry, timepoints, arrays)
 
     def trajectory_fwd(carry, timepoints, arrays):
-        outs = pallas_forward(carry, timepoints, arrays)
+        outs = forward(carry, timepoints, arrays)
         return outs, (carry, timepoints, arrays, outs)
 
     def trajectory_bwd(residuals, cotangents):

@@ -209,6 +209,7 @@ def build_pallas_verlet_trajectory(
     use_contact: bool = True,
     interpret: bool = False,
     chunk: int = None,
+    forward_impl: str = "pallas",
 ):
     """Chunked whole-trajectory fused quad kernel; see
     core.build_verlet_trajectory. ``load_values_fn`` fuses time-dependent
@@ -224,4 +225,5 @@ def build_pallas_verlet_trajectory(
         load_values_fn=load_values_fn,
         interpret=interpret,
         chunk=chunk,
+        forward_impl=forward_impl,
     )

@@ -252,6 +252,7 @@ def build_pallas_kagome_trajectory(
     use_contact: bool = True,
     interpret: bool = False,
     chunk: int = None,
+    forward_impl: str = "pallas",
 ):
     """Chunked whole-trajectory fused kagome kernel; see
     core.build_verlet_trajectory."""
@@ -266,4 +267,5 @@ def build_pallas_kagome_trajectory(
         load_values_fn=load_values_fn,
         interpret=interpret,
         chunk=chunk,
+        forward_impl=forward_impl,
     )

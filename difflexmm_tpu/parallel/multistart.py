@@ -3,9 +3,15 @@
 The reference runs design restarts sequentially in notebooks
 (random_initial_guess workflow); here a whole population of designs
 advances concurrently — one ``vmap``-ed (optionally mesh-sharded) update
-per iteration, which on TPU costs far less than per-candidate runs (the
-simulation is op-bound, not FLOP-bound: measured 23.6 ms/design at B=8 vs
-47.8 ms solo on v5e).
+per iteration, which on TPU costs far less than per-candidate runs.
+
+Backend choice for the objective: build the ForwardProblem with
+``method="verlet_ckpt"`` for large populations — XLA lays the candidate
+batch across the VPU lanes and the stored-boundary-state adjoint avoids
+remat (measured on v5e at the flagship 24x16/200-timepoint config:
+2.83 ms/design fwd+grad at B=128 = 353 designs/s, vs 8.4 ms/design for
+the vmapped Pallas kernel and 39.7 ms solo). ``verlet_pallas`` remains
+the fastest for a single design or small batches (latency-bound regime).
 """
 
 from typing import Callable, NamedTuple, Optional

@@ -161,8 +161,13 @@ def setup_dynamic_solver(
     in ``control_params`` and ``state0``.
 
     Args beyond the reference's (difflexmm/dynamics.py:60-88):
-        method: "rk4" (default), "verlet", "semi_implicit", "odeint", or
-            "verlet_pallas" (fused Pallas interval kernel; quad lattices).
+        method: "rk4" (default), "verlet", "semi_implicit", "odeint",
+            "verlet_pallas" (fused Pallas interval kernel; quad/kagome
+            grids), or "verlet_ckpt" (same interval structure and
+            stored-boundary-state adjoint as verlet_pallas, but the forward
+            is a plain XLA scan — the fastest choice under large vmap
+            batches, e.g. multi-start design sweeps, where XLA lays the
+            batch across VPU lanes).
         n_substeps: fixed integration steps per output interval.
         checkpoint: rematerialized backward pass over intervals.
         quad_grid: for "verlet_pallas" on quad lattices: dict with n1, n2
@@ -223,12 +228,12 @@ def setup_dynamic_solver(
             (dof_set.n_constrained,),
         )
 
-    if method == "verlet_pallas":
+    if method in ("verlet_pallas", "verlet_ckpt"):
         grid = kagome_grid if kagome_grid is not None else quad_grid
         if grid is None:
             raise ValueError(
-                "method='verlet_pallas' requires quad_grid={'n1':..., "
-                "'n2':...} or kagome_grid={'n1':..., 'n2':...}."
+                f"method={method!r} requires quad_grid={{'n1':..., "
+                "'n2':...}} or kagome_grid={'n1':..., 'n2':...}."
             )
         has_pallas_loading = (
             loaded_block_DOF_pairs is not None and loading_fn is not None
@@ -348,6 +353,11 @@ def setup_dynamic_solver(
                     load_values_fn=load_conv,
                     linearized=g_linearized, use_contact=g_contact,
                     interpret=pallas_interpret,
+                    # verlet_ckpt: identical math and stored-state adjoint,
+                    # but the forward is a plain scan - XLA fills the VPU
+                    # lanes under large vmap batches where the SoA kernel's
+                    # (n2, n1) tiles are mostly padding.
+                    forward_impl="xla" if method == "verlet_ckpt" else "pallas",
                 )
                 _interval_cache[cache_key] = (
                     trajectory, drive_consts, load_consts
@@ -430,7 +440,7 @@ def setup_dynamic_solver(
         inertia = _resolve_inertia(control_params)
         y0 = jnp.asarray(state0) * dof_set.free_mask
 
-        if method == "verlet_pallas":
+        if method in ("verlet_pallas", "verlet_ckpt"):
             keys, lkeys, arrays = _pallas_arrays(
                 control_params, inertia, y0.dtype
             )

@@ -254,3 +254,34 @@ def test_pallas_force_loading_matches_verlet():
     v_pal, g_pal = jax.value_and_grad(obj(solve_pal))(0.02)
     assert jnp.allclose(v_pal, v_ref, rtol=1e-6)
     assert jnp.allclose(g_pal, g_ref, rtol=1e-5)
+
+
+def test_verlet_ckpt_matches_verlet():
+    """method='verlet_ckpt' (XLA-scan forward + stored-boundary-state
+    adjoint, the fast large-batch multi-start backend) is bit-near-identical
+    to the plain verlet scan, gradients included."""
+
+    solve_ref, state0, timepoints, cp, *_ = _setup("verlet")
+    solve_ckpt, *_ = _setup("verlet_ckpt")
+
+    sol_ref = solve_ref(state0, timepoints, cp)
+    sol_ckpt = solve_ckpt(state0, timepoints, cp)
+    assert jnp.allclose(sol_ckpt, sol_ref, atol=1e-12)
+
+    def objective(solve):
+        def fn(amplitude):
+            cp2 = cp._replace(
+                constraint_params=dict(amplitude=amplitude, rate=1.0)
+            )
+            return jnp.sum(solve(state0, timepoints, cp2)[:, 1] ** 2)
+        return fn
+
+    g_ref = jax.grad(objective(solve_ref))(0.15)
+    g_ckpt = jax.grad(objective(solve_ckpt))(0.15)
+    assert jnp.allclose(g_ckpt, g_ref, rtol=1e-10)
+
+    # vmap over a small design batch (the multi-start pattern).
+    amps = jnp.array([0.1, 0.15, 0.2])
+    values = jax.vmap(objective(solve_ckpt))(amps)
+    values_ref = jax.vmap(objective(solve_ref))(amps)
+    assert jnp.allclose(values, values_ref, atol=1e-12)
