@@ -803,25 +803,50 @@ def continuous_bond_lines(
     out_h = 3 * (horiz.mean(axis=0) if len(horiz) else np.array([1.0, 0.0]))
     out_v = 3 * (vert.mean(axis=0) if len(vert) else np.array([0.0, 1.0]))
 
-    sides = (
-        (np.arange(n1_blocks), 3, -out_v),                    # bottom
-        (n1_blocks - 1 + np.arange(n2_blocks) * n1_blocks, 0, out_h),   # right
-        ((n2_blocks - 1) * n1_blocks + np.arange(n1_blocks)[::-1], 1, out_v),  # top
-        (np.arange(n2_blocks)[::-1] * n1_blocks, 2, -out_h),  # left
-    )
-    tips: List[np.ndarray] = []
-    for block_ids, corner, stub in sides:
+    sides = {
+        "bottom": (np.arange(n1_blocks), 3, -out_v),
+        "top": ((n2_blocks - 1) * n1_blocks + np.arange(n1_blocks), 1, out_v),
+        "left": (np.arange(n2_blocks) * n1_blocks, 2, -out_h),
+        "right": (n1_blocks - 1 + np.arange(n2_blocks) * n1_blocks, 0, out_h),
+    }
+    tips = {}
+    for name, (block_ids, corner, stub) in sides.items():
+        side_tips = []
         for block_id in block_ids:
             node = nodes[block_id, corner]
             tip = node + stub
             lines.append(
                 np.stack([shifted_blocks[block_id, corner], node, tip])
             )
-            tips.append(tip)
-    # Close the outer path through the stub tips.
-    tips_arr = np.asarray(tips)
-    for k in range(len(tips_arr)):
-        lines.append(np.stack([tips_arr[k], tips_arr[(k + 1) % len(tips_arr)]]))
+            side_tips.append(tip)
+        tips[name] = side_tips
+
+    def pair_up(side_tips):
+        """Join alternating consecutive tip pairs: (0,1), (2,3), ... Each
+        tip then has degree <= 2 (its stub + at most one closure), keeping
+        the whole drawing traceable as ONE continuous cut path — the
+        reference's closure scheme (scripts/fabrication.py:281-293)."""
+
+        return [
+            np.stack([side_tips[k], side_tips[k + 1]])
+            for k in range(0, len(side_tips) - 1, 2)
+        ]
+
+    # Bottom/right skip their first and last tips; top/left pair them all;
+    # one two-segment corner piece joins the bottom-right corner's two
+    # dangling tips around the corner.
+    lines.extend(pair_up(tips["bottom"][1:-1]))
+    lines.extend(pair_up(tips["right"][1:-1]))
+    lines.extend(pair_up(tips["top"]))
+    lines.extend(pair_up(tips["left"]))
+    corner_bottom, corner_right = tips["bottom"][-1], tips["right"][0]
+    lines.append(
+        np.stack([
+            corner_bottom,
+            np.array([corner_right[0], corner_bottom[1]]),
+            corner_right,
+        ])
+    )
     return lines
 
 
@@ -1045,24 +1070,24 @@ def clamp_corner_ids(geometry, n_blocks_clamped_corners: int):
     nb = n1 * n2
     ncc = n_blocks_clamped_corners
     bl = np.concatenate(
-        [np.arange(ncc), np.array([i * n1 for i in range(1, ncc)])]
+        [np.arange(ncc), np.array([i * n1 for i in range(1, ncc)], int)]
     )
     br = np.concatenate(
         [
             np.arange(n1 - ncc, n1),
-            np.array([(i + 1) * n1 - 1 for i in range(1, ncc)]),
+            np.array([(i + 1) * n1 - 1 for i in range(1, ncc)], int),
         ]
     )
     tr = np.concatenate(
         [
             np.arange(nb - ncc, nb),
-            np.array([nb - i * n1 - 1 for i in range(1, ncc)]),
+            np.array([nb - i * n1 - 1 for i in range(1, ncc)], int),
         ]
     )
     tl = np.concatenate(
         [
             np.arange(nb - n1, nb - n1 + ncc),
-            np.array([nb - n1 - i * n1 for i in range(1, ncc)]),
+            np.array([nb - n1 - i * n1 for i in range(1, ncc)], int),
         ]
     )
     return bl, br, tr, tl

@@ -315,8 +315,23 @@ def test_continuous_bond_drawing(tmp_path):
         offset_type="constant", offset_size=0.5,
     )
     n_boundary = 2 * geo.n1_blocks + 2 * geo.n2_blocks
-    # bonds + 2 internal segments per block + boundary stubs + closing chain
-    assert len(lines) == len(bonds) + 2 * geo.n_blocks + 2 * n_boundary
+    # bonds + 2 internal segments per block + boundary stubs + alternating
+    # closure pairs per side (bottom/right skip end tips) + 1 corner piece
+    n_closures = (
+        (geo.n1_blocks - 2) // 2 + (geo.n2_blocks - 2) // 2
+        + geo.n1_blocks // 2 + geo.n2_blocks // 2 + 1
+    )
+    assert len(lines) == len(bonds) + 2 * geo.n_blocks + n_boundary + n_closures
+    # The reference's closure scheme keeps every stub tip at degree <= 2
+    # (one stub + at most one closure) so the drawing remains traceable as
+    # one continuous cut path.
+    tip_lines = lines[len(bonds) + 2 * geo.n_blocks:]
+    from collections import Counter
+    endpoint_count = Counter()
+    for line in tip_lines:
+        for p in (line[0], line[-1]):
+            endpoint_count[tuple(np.round(p, 9))] += 1
+    assert max(endpoint_count.values()) <= 2
     d = blocks_continuous_bond_drawing(
         bc, cnv, bonds, rbv, geo.n1_blocks, geo.n2_blocks,
         out_file=tmp_path / "cont.svg", offset_type="ratio", offset_size=0.1,

@@ -77,7 +77,6 @@ def _setup(method, n1=4, n2=3, n_substeps=8, k_arrays=False, **kwargs):
     return solve, state0, timepoints, cp, design, (bc, cnv)
 
 
-@pytest.mark.slow
 def test_kagome_pallas_matches_verlet():
     solve_ref, state0, timepoints, cp, *_ = _setup("verlet", k_arrays=True)
     solve_pal, *_ = _setup("verlet_pallas", k_arrays=True, pallas_interpret=True)
