@@ -404,7 +404,7 @@ class OptimizationProblem:
             flat0, upper_bound if upper_bound is not None else 100 * span
         )
 
-        def callback(it, x, value, violation):
+        def callback(it, x, value, violation, fi):
             self.objective_values.append(float(value))
             self.design_values.append(unflatten(x))
 

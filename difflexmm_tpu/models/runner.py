@@ -8,6 +8,7 @@ constraint wiring, and iteration-history bookkeeping from here.
 from typing import Callable, List, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from difflexmm_tpu.models import base
@@ -140,21 +141,38 @@ class OptimizationRunnerMixin:
             flat0, upper_bound if upper_bound is not None else 10 * span
         )
 
-        def callback(it, x, value, violation):
+        objective_individual = (
+            jax.jit(lambda x: self.objective_fn_individual(unflatten(x)))
+            if hasattr(self, "objective_fn_individual")
+            else None
+        )
+
+        if names:
+            offsets = np.cumsum([0] + sizes)
+            group_max = jax.jit(
+                lambda fi: jnp.stack(
+                    [
+                        jnp.max(fi[offsets[k]:offsets[k + 1]])
+                        for k in range(len(sizes))
+                    ]
+                )
+            )
+
+        def callback(it, x, value, violation, fi):
             self.objective_values.append(float(value))
             self.design_values.append(unflatten(x))
-            if hasattr(self, "objective_fn_individual"):
+            if objective_individual is not None:
                 self.objective_values_individual.append(
-                    self.objective_fn_individual(unflatten(x))
+                    objective_individual(x)
                 )
             if constraints_and_jac is not None:
-                fi, _ = constraints_and_jac(x)
-                offset = 0
-                for name, size in zip(names, sizes):
-                    self.constraints_violation[name].append(
-                        float(jnp.max(fi[offset:offset + size]))
-                    )
-                    offset += size
+                # fi comes from the optimizer's own constraint evaluation
+                # at this x (no recomputation), and the per-group maxima
+                # come back in ONE device->host transfer - synchronous
+                # scalar readbacks cost a full runtime round-trip each.
+                maxima = np.asarray(group_max(fi))
+                for name, m in zip(names, maxima):
+                    self.constraints_violation[name].append(float(m))
             if metrics_logger is not None:
                 metrics_logger.log(
                     len(self.objective_values),

@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class MMAState(NamedTuple):
@@ -205,7 +206,9 @@ def run_mma(
         constraints_and_jac: optional ``x -> (fi (m,), dfi (m, n))`` with
             feasibility fi <= 0.
         maximize: maximize instead of minimize.
-        callback: ``callback(iteration, x, value, fi)`` per iteration.
+        callback: ``callback(iteration, x, value, max_violation, fi)``
+            per iteration; ``fi`` is the full constraint vector evaluated
+            at ``x`` (empty when unconstrained).
         move_limit: per-iteration step cap (fraction of bound span).
         max_backtracks: if the objective or gradient at a new iterate is
             non-finite (e.g. the design left the solver's stability region),
@@ -222,51 +225,80 @@ def run_mma(
     history = {"objective_values": [], "design_values": [], "constraints_violation": []}
 
     update = jax.jit(
-        lambda s, g, fi, dfi: mma_update(
+        lambda s, g, fi, dfi, scale: mma_update(
             s, g, fi, dfi, jnp.asarray(xmin), jnp.asarray(xmax),
-            n_dual_iters=n_dual_iters, move_limit=move_limit,
+            n_dual_iters=n_dual_iters, move_limit=move_limit * scale,
         )
     ) if constraints_and_jac is not None else jax.jit(
-        lambda s, g: mma_update(
+        lambda s, g, scale: mma_update(
             s, g, None, None, jnp.asarray(xmin), jnp.asarray(xmax),
-            n_dual_iters=n_dual_iters, move_limit=move_limit,
+            n_dual_iters=n_dual_iters, move_limit=move_limit * scale,
+        )
+    )
+
+    # One fused device computation + ONE host readback per evaluation:
+    # every synchronous device->host scalar transfer costs a full runtime
+    # round-trip (~25 ms through a remote-attached TPU), so value and
+    # finiteness come back together.
+    finite_value = jax.jit(
+        lambda v, g: jnp.stack(
+            [v, (jnp.isfinite(v) & jnp.all(jnp.isfinite(g))).astype(v.dtype)]
         )
     )
 
     def evaluate(x):
         value, grad = objective_and_grad(x)
-        finite = bool(jnp.isfinite(value)) and bool(jnp.all(jnp.isfinite(grad)))
-        return value, grad, finite
+        summary = np.asarray(finite_value(value, grad))
+        return float(summary[0]), grad, bool(summary[1])
 
+    # Trust-region scale on the move limit: shrinks when a step lands
+    # outside the region where the objective is computable (fixed-step
+    # solver instability, contact-barrier tunneling), recovers on success.
+    move_scale = 1.0
     for it in range(n_iterations):
         value, grad, finite = evaluate(state.x)
         backtracks = 0
         while not finite and backtracks < max_backtracks and it > 0:
-            # The step left the region where the objective is computable
-            # (e.g. fixed-step solver instability). Bisect toward the last
-            # finite iterate.
+            # Bisect toward the last finite iterate.
             state = state._replace(x=(state.x + state.x_prev1) / 2)
             value, grad, finite = evaluate(state.x)
             backtracks += 1
+        if not finite and it > 0:
+            # Reject the step entirely: retreat to the last finite iterate
+            # (deterministically computable) and crawl from there.
+            state = state._replace(x=state.x_prev1)
+            value, grad, finite = evaluate(state.x)
+            move_scale = max(move_scale / 4, 1e-4)
+        elif backtracks:
+            move_scale = max(move_scale / 2, 1e-4)
+        else:
+            move_scale = min(move_scale * 1.25, 1.0)
         if not finite:
             raise FloatingPointError(
-                f"MMA iteration {it}: objective/gradient non-finite after "
-                f"{backtracks} backtracks. Check solver stability (substeps) "
-                f"for designs within the bounds, or lower move_limit."
+                f"MMA iteration {it}: objective/gradient non-finite at the "
+                f"{'initial design' if it == 0 else 'last accepted iterate'}."
+                f" Check solver stability (substeps) for designs within the "
+                f"bounds, or lower move_limit."
             )
 
         if constraints_and_jac is not None:
             fi, dfi = constraints_and_jac(state.x)
-            state = update(state, sign * grad, fi, dfi)
+            state = update(state, sign * grad, fi, dfi, move_scale)
             violation = float(jnp.max(fi)) if fi.size else 0.0
         else:
-            state = update(state, sign * grad)
+            fi = jnp.zeros((0,))
+            state = update(state, sign * grad, move_scale)
             violation = 0.0
 
-        history["objective_values"].append(float(value))
+        history["objective_values"].append(value)
         history["design_values"].append(state.x_prev1)
         history["constraints_violation"].append(violation)
         if callback is not None:
-            callback(it, state.x_prev1, value, violation)
+            # fi was evaluated at the pre-update state.x == x_prev1 now,
+            # so callbacks can log per-constraint data without recomputing.
+            callback(it, state.x_prev1, value, violation, fi)
 
-    return state.x, history
+    # Return the last EVALUATED iterate (state.x is the final update's
+    # un-evaluated proposal — it may sit outside the solver's stability
+    # region, and returning it breaks restarts and best-forward solves).
+    return (state.x_prev1 if n_iterations > 0 else state.x), history

@@ -130,3 +130,61 @@ def test_naive_gd():
     x, vals, _ = naive_gd(oag, jnp.ones(3), n_iterations=200, learning_rate=0.1)
     assert jnp.allclose(x, 0.0, atol=1e-6)
     assert vals[-1] < vals[0]
+
+
+def test_run_mma_trust_region_recovers_from_nonfinite():
+    """A step into a region where the objective is non-finite (fixed-step
+    solver instability in real problems) is bisected back and, if still
+    bad, rejected entirely with a shrunken move limit - the run continues
+    instead of raising."""
+
+    import numpy as np
+    from difflexmm_tpu.optim.mma import run_mma
+
+    # Quadratic bowl with a "stability wall": nan beyond x > 0.6.
+    def objective_and_grad(x):
+        value = jnp.sum((x - 1.0) ** 2)
+        bad = jnp.any(x > 0.6)
+        value = jnp.where(bad, jnp.nan, value)
+        grad = jnp.where(bad, jnp.nan, 2.0 * (x - 1.0))
+        return value, grad
+
+    x0 = jnp.zeros((3,))
+    x_final, history = run_mma(
+        objective_and_grad,
+        x0,
+        xmin=-2.0 * jnp.ones(3),
+        xmax=2.0 * jnp.ones(3),
+        n_iterations=25,
+        move_limit=0.5,
+    )
+    values = np.asarray(history["objective_values"])
+    assert np.all(np.isfinite(values))
+    # Converges toward the wall (x -> 0.6-), improving on the start.
+    assert values[-1] < values[0]
+    assert np.all(np.asarray(x_final) <= 0.6 + 1e-9)
+    assert float(jnp.max(x_final)) > 0.45  # actually approached the wall
+
+
+def test_run_mma_returns_last_evaluated_iterate():
+    """run_mma must return the last EVALUATED design (history's last
+    entry), not the final un-evaluated proposal - restarts and best-forward
+    solves depend on it."""
+
+    import numpy as np
+    from difflexmm_tpu.optim.mma import run_mma
+
+    def objective_and_grad(x):
+        return jnp.sum(x**2), 2.0 * x
+
+    x_final, history = run_mma(
+        objective_and_grad,
+        jnp.ones((2,)),
+        xmin=-2.0 * jnp.ones(2),
+        xmax=2.0 * jnp.ones(2),
+        n_iterations=5,
+        move_limit=0.3,
+    )
+    assert np.allclose(
+        np.asarray(x_final), np.asarray(history["design_values"][-1])
+    )
