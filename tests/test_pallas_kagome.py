@@ -49,7 +49,7 @@ def _setup(method, n1=4, n2=3, n_substeps=8, k_arrays=False, **kwargs):
         n_substeps=n_substeps,
         kagome_grid=(
             dict(n1=n1, n2=n2, linearized=False)
-            if method == "verlet_pallas"
+            if method in ("verlet_pallas", "verlet_ckpt")
             else None
         ),
         **kwargs,
@@ -159,3 +159,27 @@ def test_kagome_focusing_model_pallas_parity():
     sol_ref = fp_ref.solve(design).fields
     sol_pal = fp_pal.solve(design).fields
     assert jnp.allclose(sol_pal, sol_ref, atol=1e-6)
+
+
+def test_kagome_verlet_ckpt_matches_verlet():
+    """verlet_ckpt (XLA-scan forward + stored-state adjoint) on the kagome
+    binding matches the plain verlet scan, gradients included."""
+
+    solve_ref, state0, timepoints, cp, design, geo = _setup("verlet")
+    solve_ckpt, *_ = _setup("verlet_ckpt")
+
+    sol_ref = solve_ref(state0, timepoints, cp)
+    sol_ckpt = solve_ckpt(state0, timepoints, cp)
+    assert jnp.allclose(sol_ckpt, sol_ref, atol=1e-12)
+
+    def objective(solve):
+        def fn(amplitude):
+            cp2 = cp._replace(
+                constraint_params=dict(amplitude=amplitude, rate=1.0)
+            )
+            return jnp.sum(solve(state0, timepoints, cp2)[:, 1] ** 2)
+        return fn
+
+    g_ref = jax.grad(objective(solve_ref))(0.1)
+    g_ckpt = jax.grad(objective(solve_ckpt))(0.1)
+    assert jnp.allclose(g_ckpt, g_ref, rtol=1e-10)
