@@ -173,11 +173,15 @@ class OptimizationRunnerMixin:
                 maxima = np.asarray(group_max(fi))
                 for name, m in zip(names, maxima):
                     self.constraints_violation[name].append(float(m))
+                violation = float(maxima.max())
             if metrics_logger is not None:
                 metrics_logger.log(
                     len(self.objective_values),
                     objective=float(value),
-                    constraint_violation=float(violation),
+                    constraint_violation=(
+                        float(violation) if constraints_and_jac is not None
+                        else 0.0
+                    ),
                 )
             if checkpoint is not None:
                 checkpoint.save(

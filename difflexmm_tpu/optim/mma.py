@@ -255,6 +255,7 @@ def run_mma(
     # outside the region where the objective is computable (fixed-step
     # solver instability, contact-barrier tunneling), recovers on success.
     move_scale = 1.0
+    accepted = None  # (value, grad) at x_prev1 - rejection retreat is free
     for it in range(n_iterations):
         value, grad, finite = evaluate(state.x)
         backtracks = 0
@@ -264,15 +265,17 @@ def run_mma(
             value, grad, finite = evaluate(state.x)
             backtracks += 1
         if not finite and it > 0:
-            # Reject the step entirely: retreat to the last finite iterate
-            # (deterministically computable) and crawl from there.
+            # Reject the step entirely: retreat to the last finite iterate,
+            # whose (value, grad) were computed last iteration, and crawl.
             state = state._replace(x=state.x_prev1)
-            value, grad, finite = evaluate(state.x)
+            value, grad = accepted
+            finite = True
             move_scale = max(move_scale / 4, 1e-4)
         elif backtracks:
             move_scale = max(move_scale / 2, 1e-4)
         else:
             move_scale = min(move_scale * 1.25, 1.0)
+        accepted = (value, grad)
         if not finite:
             raise FloatingPointError(
                 f"MMA iteration {it}: objective/gradient non-finite at the "
@@ -284,7 +287,10 @@ def run_mma(
         if constraints_and_jac is not None:
             fi, dfi = constraints_and_jac(state.x)
             state = update(state, sign * grad, fi, dfi, move_scale)
-            violation = float(jnp.max(fi)) if fi.size else 0.0
+            # Device scalar - converted in ONE batched readback at return
+            # (synchronous per-iteration scalar readbacks cost a runtime
+            # round-trip each).
+            violation = jnp.max(fi) if fi.size else 0.0
         else:
             fi = jnp.zeros((0,))
             state = update(state, sign * grad, move_scale)
@@ -297,6 +303,13 @@ def run_mma(
             # fi was evaluated at the pre-update state.x == x_prev1 now,
             # so callbacks can log per-constraint data without recomputing.
             callback(it, state.x_prev1, value, violation, fi)
+
+    history["constraints_violation"] = [
+        float(v) for v in np.asarray(jnp.stack(
+            [jnp.asarray(v, dtype=jnp.result_type(float))
+             for v in history["constraints_violation"]]
+        ))
+    ] if history["constraints_violation"] else []
 
     # Return the last EVALUATED iterate (state.x is the final update's
     # un-evaluated proposal — it may sit outside the solver's stability

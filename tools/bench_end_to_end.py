@@ -28,6 +28,8 @@ import numpy as np
 
 
 def main(n_iterations: int = 12) -> int:
+    if n_iterations < 4:
+        raise SystemExit("need n_iterations >= 4 for a warm median")
     import jax
     from bench import build_flagship
 
@@ -59,7 +61,7 @@ def main(n_iterations: int = 12) -> int:
             min_void_angle=0.0,
             min_block_angle=0.0,
             min_edge_length=0.05 * 15,
-            move_limit=0.08 * 15,
+            move_limit=0.08,  # FRACTION of the bound span (run_mma contract)
             verbose=False,
         )
         total = time.perf_counter() - t0
