@@ -148,6 +148,39 @@ def _measure_batched(B=128):
     return per_batch, B / per_batch
 
 
+def _measure_large_lattice():
+    """16x the flagship blocks (96x64 = 6,144 blocks, 18,432 DOFs) on the
+    chunked HBM-streaming Pallas path — guards the VMEM-scaling claim."""
+
+    from difflexmm_tpu.models.quads_focusing import (
+        ForwardProblem,
+        OptimizationProblem,
+    )
+
+    method = "verlet_pallas" if jax.default_backend() == "tpu" else "verlet"
+    cfg = paper_config(method, BENCH_N_SUBSTEPS)
+    cfg.update(
+        n1_blocks=96,
+        n2_blocks=64,
+        damping=0.0186
+        * 2
+        * (0.36125 * cfg["density"] * cfg["spacing"] ** 2 * cfg["k_shear"])
+        ** 0.5,
+    )
+    problem = ForwardProblem(**cfg)
+    optimization = OptimizationProblem(
+        problem, target_size=(2, 2), target_shift=(40, 30)
+    )
+    optimization.setup_objective()
+    design = problem.geometry.get_design_from_rotated_square(25 * jnp.pi / 180)
+    vag = jax.jit(jax.value_and_grad(optimization.objective_fn))
+    jax.block_until_ready(vag(design)[0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(vag(design)[0])
+    return (time.perf_counter() - t0) / 3
+
+
 def _measure_flops(fn, *args):
     """FLOPs of one jitted call from XLA's own cost analysis. Only valid
     for loop-free computations (XLA counts a scan body once)."""
@@ -216,6 +249,12 @@ def main():
         record["multistart_designs_per_second"] = round(designs_per_s, 1)
     except Exception as error:  # pragma: no cover
         sys.stderr.write(f"bench: batched metric failed ({error})\n")
+    try:
+        record["large_lattice_96x64_seconds_per_iteration"] = round(
+            _measure_large_lattice(), 4
+        )
+    except Exception as error:  # pragma: no cover
+        sys.stderr.write(f"bench: large-lattice metric failed ({error})\n")
     try:
         flops = _estimate_fwd_adjoint_flops()
         if flops > 0:
