@@ -1,16 +1,43 @@
 """Objective functions for inverse design and experiment matching.
 
-Space-time cross-correlation objectives (behavioral parity: reference
-difflexmm/objective.py:10-89) plus re-exports of the energy/momentum
-observables commonly used as design targets.
+Space-time cross-correlation objectives (behavioral parity with reference
+difflexmm/objective.py:10-89, re-derived here via FFT correlation on an
+explicit lag lattice) plus re-exports of the energy/momentum observables
+commonly used as design targets.
+
+Lag convention used throughout: the full linear cross-correlation of
+``a`` against ``b`` along one axis has length ``len_a + len_b - 1`` and is
+indexed so that entry ``len_b - 1 + lag`` holds
+
+    sum_n a[n + lag] * b[n]
+
+i.e. the correlation of ``a`` with ``b`` displaced by ``lag`` samples
+(lag 0 = signals aligned). This matches the standard "full" correlation
+layout, so values agree with ``scipy.signal.correlate(a, b)``.
 """
 
 from typing import Literal, Optional, Tuple
 
 import jax.numpy as jnp
-import jax.scipy as jsp
 
 from difflexmm_tpu.ops.observables import angular_momentum, kinetic_energy  # noqa: F401
+
+
+def _corr_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full linear cross-correlation of two real nD arrays, via FFT.
+
+    Computed as a circular correlation on a zero-padded grid of shape
+    ``a.shape + b.shape - 1`` (so wrap-around never aliases), then rolled so
+    index ``b.shape[d] - 1`` along each axis ``d`` is the zero-lag entry —
+    the lag convention documented in the module docstring.
+    """
+
+    full_shape = tuple(na + nb - 1 for na, nb in zip(a.shape, b.shape))
+    axes = tuple(range(a.ndim))
+    spec = jnp.fft.rfftn(a, full_shape) * jnp.conj(jnp.fft.rfftn(b, full_shape))
+    circular = jnp.fft.irfftn(spec, full_shape)
+    # circular[lag mod N] = sum_n a[n + lag] b[n]; place lag 0 at b.shape - 1.
+    return jnp.roll(circular, tuple(nb - 1 for nb in b.shape), axis=axes)
 
 
 def compute_xcorr2d(
@@ -18,33 +45,27 @@ def compute_xcorr2d(
     signal1: jnp.ndarray,
     shift: Tuple[Optional[int], Optional[int]] = (None, None),
 ):
-    """Full 2D cross-correlation normalized by the autocorrelation peak.
+    """Full 2D cross-correlation normalized by signal0's autocorrelation peak.
 
-    Optionally slice at a given shift along one or both axes (0 = aligned).
+    ``shift`` optionally pins the lag along either axis (0 = aligned); a
+    pinned axis is sliced out of the result, so e.g. ``shift=(0, None)``
+    returns the 1D correlation-vs-lag curve along axis 1 at zero lag
+    along axis 0.
     """
 
-    xcorr2d = jsp.signal.correlate2d(signal0, signal1) / jsp.signal.correlate2d(
-        signal0, signal0
-    ).max()
-
-    if shift == (None, None):
-        return xcorr2d
-    if shift[1] is None and shift[0] is not None:
-        return xcorr2d[signal1.shape[0] - 1 + shift[0], :]
-    if shift[0] is None and shift[1] is not None:
-        return xcorr2d[:, signal1.shape[1] - 1 + shift[1]]
-    if shift[0] is not None and shift[1] is not None:
-        return xcorr2d[signal1.shape[0] - 1 + shift[0], signal1.shape[1] - 1 + shift[1]]
-    raise ValueError("Invalid shift specification.")
+    corr = _corr_full(signal0, signal1) / _corr_full(signal0, signal0).max()
+    index = tuple(
+        slice(None) if lag is None else signal1.shape[axis] - 1 + lag
+        for axis, lag in enumerate(shift)
+    )
+    return corr[index]
 
 
 def compute_xcorr(signal0: jnp.ndarray, signal1: jnp.ndarray, shift: Optional[int] = None):
-    """1D cross-correlation normalized by the autocorrelation peak."""
+    """1D cross-correlation normalized by signal0's autocorrelation peak."""
 
-    xcorr = jsp.signal.correlate(signal0, signal1) / jsp.signal.correlate(
-        signal0, signal0
-    ).max()
-    return xcorr if shift is None else xcorr[signal1.shape[0] - 1 + shift]
+    corr = _corr_full(signal0, signal1) / _corr_full(signal0, signal0).max()
+    return corr if shift is None else corr[signal1.shape[0] - 1 + shift]
 
 
 def compute_max_xcorr2d_at_shift(
@@ -53,17 +74,20 @@ def compute_max_xcorr2d_at_shift(
     shift: int,
     shift_axis: Literal[0, 1] = 0,
 ):
-    """Max correlation and delay at a fixed shift along one axis.
+    """Peak correlation and delay along the free axis, at a pinned lag.
 
-    A positive delay means ``signal1`` lags ``signal0``.
+    Pins the lag along ``shift_axis`` to ``shift``, scans the other axis for
+    the correlation peak, and reports (peak value, delay). The delay is the
+    negative of the peak's lag — a positive delay means ``signal1`` lags
+    ``signal0``.
     """
 
-    xcorr_slice = compute_xcorr2d(
-        signal0, signal1, shift=(shift, None) if shift_axis == 0 else (None, shift)
-    )
-    max_xcorr = xcorr_slice.max()
-    max_index = xcorr_slice.argmax()
-    return max_xcorr, -(max_index + 1 - signal1.shape[1 if shift_axis == 0 else 0])
+    free_axis = 1 - shift_axis
+    pinned = (shift, None) if shift_axis == 0 else (None, shift)
+    curve = compute_xcorr2d(signal0, signal1, shift=pinned)
+    peak_index = curve.argmax()
+    peak_lag = peak_index - (signal1.shape[free_axis] - 1)
+    return curve.max(), -peak_lag
 
 
 def compute_space_time_xcorr(space_time0: jnp.ndarray, space_time1: jnp.ndarray):
