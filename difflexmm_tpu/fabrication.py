@@ -756,6 +756,16 @@ def continuous_bond_lines(
     (or row) so consecutive cuts form one continuous serpentine; boundary
     nodes get outward stubs whose tips are chained into a closed outer
     path. Corner conventions: 0 right, 1 top, 2 left, 3 bottom.
+
+    Intentional divergence: the reference builds its parity list with an
+    ``for n1 ... for n2`` loop (scripts/fabrication.py:248-252) but zips it
+    against the row-major (column-fastest) block ordering, so on non-square
+    lattices its 'column' orientation alternates by ``block_id //
+    n2_blocks`` — neither pure column nor row parity. Here the parity is
+    computed from the block's actual lattice column ``block_id % n1_blocks``
+    (or row, for ``path_orientation='row'``), which is the intended
+    serpentine; tests pin this pairing
+    (tests/test_fabrication_tracking.py::test_continuous_bond_serpentine_pairing).
     """
 
     bc = _np(block_centroids)

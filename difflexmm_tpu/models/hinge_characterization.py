@@ -25,6 +25,7 @@ from difflexmm_tpu.models import base
 from difflexmm_tpu.ops.assembly import build_strain_energy, combine_block_energies
 from difflexmm_tpu.ops.bonds import ligament_energy, ligament_energy_linearized
 from difflexmm_tpu.ops.contact import build_contact_energy
+from difflexmm_tpu.ops.grid import build_quad_grid_energy
 from difflexmm_tpu.optim.loops import naive_gd
 from difflexmm_tpu.optim.mma import run_mma
 from difflexmm_tpu.utils.types import (
@@ -96,16 +97,35 @@ def _characterization_setup(self, geometry, block_centroids, centroid_node_vecto
         ]
     ) * jnp.ones((nb, 3))
 
-    strain_energy = build_strain_energy(
-        bonds,
-        ligament_energy_linearized if self.linearized_strains else ligament_energy,
+    bond_energy_fn = (
+        ligament_energy_linearized if self.linearized_strains else ligament_energy
     )
-    potential_energy = (
-        combine_block_energies(strain_energy, build_contact_energy(bonds))
-        if self.use_contact
-        else strain_energy
-    )
+    if self.grid_energy:
+        # Both sample geometries are n1 x n2 grids of 4-gons, so the
+        # gather-free gridded assembly applies (bit-identical to the
+        # general path; tests/test_grid_energy.py).
+        potential_energy = build_quad_grid_energy(
+            geometry.n1_blocks, geometry.n2_blocks, bond_energy_fn,
+            use_contact=self.use_contact,
+        )
+    else:
+        strain_energy = build_strain_energy(bonds, bond_energy_fn)
+        potential_energy = (
+            combine_block_energies(strain_energy, build_contact_energy(bonds))
+            if self.use_contact
+            else strain_energy
+        )
 
+    quad_grid = (
+        dict(
+            n1=geometry.n1_blocks,
+            n2=geometry.n2_blocks,
+            linearized=self.linearized_strains,
+            use_contact=self.use_contact,
+        )
+        if self.method in ("verlet_pallas", "verlet_ckpt")
+        else None
+    )
     solve_dynamics = setup_dynamic_solver(
         geometry=geometry,
         energy_fn=potential_energy,
@@ -116,6 +136,8 @@ def _characterization_setup(self, geometry, block_centroids, centroid_node_vecto
         n_substeps=self.n_substeps,
         atol=self.atol,
         rtol=self.rtol,
+        quad_grid=quad_grid,
+        pallas_interpret=self.pallas_interpret,
     )
 
     timepoints = jnp.linspace(0.0, 1.0 / self.loading_rate, self.n_timepoints)
@@ -235,8 +257,11 @@ class ForwardProblem(_CharacterizationForwardMixin):
 
     method: str = "verlet"
     n_substeps: int = 32
+    grid_energy: bool = True
     atol: float = 1e-8
     rtol: float = 1e-8
+    # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
+    pallas_interpret: bool = False
 
     name: str = "hinge_characterization"
     is_setup: bool = False
@@ -296,8 +321,11 @@ class ForwardProblemQuads(_CharacterizationForwardMixin):
 
     method: str = "verlet"
     n_substeps: int = 32
+    grid_energy: bool = True
     atol: float = 1e-8
     rtol: float = 1e-8
+    # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
+    pallas_interpret: bool = False
 
     name: str = "hinge_characterization_quads"
     is_setup: bool = False

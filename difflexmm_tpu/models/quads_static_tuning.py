@@ -96,6 +96,8 @@ class ForwardProblem:
     grid_energy: bool = True
     atol: float = 1e-8
     rtol: float = 1e-8
+    # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
+    pallas_interpret: bool = False
 
     is_setup: bool = False
     name: str = "quads_kinetic_energy_static_tuning"
@@ -176,6 +178,16 @@ class ForwardProblem:
                 else strain_energy
             )
 
+        quad_grid = (
+            dict(
+                n1=n1,
+                n2=n2,
+                linearized=self.linearized_strains,
+                use_contact=self.use_contact,
+            )
+            if self.method in ("verlet_pallas", "verlet_ckpt")
+            else None
+        )
         solve_dynamics = setup_dynamic_solver(
             geometry=geometry,
             energy_fn=energy,
@@ -186,6 +198,8 @@ class ForwardProblem:
             n_substeps=self.n_substeps,
             atol=self.atol,
             rtol=self.rtol,
+            quad_grid=quad_grid,
+            pallas_interpret=self.pallas_interpret,
         )
 
         state0 = jnp.zeros((2, geometry.n_blocks, 3))

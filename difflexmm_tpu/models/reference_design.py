@@ -79,6 +79,8 @@ class ForwardProblem:
     grid_energy: bool = True
     atol: float = 1e-8
     rtol: float = 1e-8
+    # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
+    pallas_interpret: bool = False
 
     is_setup: bool = False
     name: str = "reference_design"
@@ -129,6 +131,18 @@ class ForwardProblem:
                 else strain_energy
             )
 
+        # The rotated-square lattice is an n1 x n2 grid of 4-gons, so the
+        # gridded quad kernels apply unchanged.
+        quad_grid = (
+            dict(
+                n1=geometry.n1_blocks,
+                n2=geometry.n2_blocks,
+                linearized=self.linearized_strains,
+                use_contact=self.use_contact,
+            )
+            if self.method in ("verlet_pallas", "verlet_ckpt")
+            else None
+        )
         solve_dynamics = setup_dynamic_solver(
             geometry=geometry,
             energy_fn=energy,
@@ -139,6 +153,8 @@ class ForwardProblem:
             n_substeps=self.n_substeps,
             atol=self.atol,
             rtol=self.rtol,
+            quad_grid=quad_grid,
+            pallas_interpret=self.pallas_interpret,
         )
 
         timepoints = jnp.linspace(0.0, self.simulation_time, self.n_timepoints)

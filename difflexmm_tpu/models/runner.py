@@ -83,6 +83,7 @@ class OptimizationRunnerMixin:
         checkpoint=None,
         resume: bool = False,
         move_limit: float = 0.2,
+        max_seconds: Optional[float] = None,
     ):
         """Constrained inverse design with the on-device MMA optimizer.
 
@@ -90,7 +91,7 @@ class OptimizationRunnerMixin:
             metrics_logger: optional utils.observability.MetricsLogger for
                 per-iteration JSONL metrics.
             checkpoint: optional utils.observability.OptimizationCheckpoint;
-                snapshots the run periodically.
+                snapshots the run periodically and on wall-clock expiry.
             resume: restore histories and the initial design from
                 ``checkpoint`` if a snapshot exists.
             move_limit: MMA per-iteration step cap as a fraction of the
@@ -98,6 +99,11 @@ class OptimizationRunnerMixin:
                 0.5) because fixed-step dynamics have a design-dependent
                 stability region; run_mma additionally backtracks if an
                 iterate produces a non-finite objective.
+            max_seconds: wall-clock cap on the optimization loop (parity
+                with nlopt ``opt.set_maxtime``, reference
+                problems/quads_focusing.py:645-646). The loop stops cleanly
+                between iterations; if a ``checkpoint`` is given, a final
+                snapshot is forced so the run can resume.
         """
 
         if not self.is_setup:
@@ -108,6 +114,18 @@ class OptimizationRunnerMixin:
             initial_guess = snapshot["design"]
             self.objective_values = list(snapshot["objective_values"])
             self.design_values = list(snapshot["design_values"])
+            # Restore the auxiliary histories too, so everything stays
+            # index-aligned with objective_values after a resume.
+            extras = snapshot.get("extras") or {}
+            if getattr(self, "constraints_violation", None) is not None:
+                for name, values in extras.get(
+                    "constraints_violation", {}
+                ).items():
+                    self.constraints_violation[name] = list(values)
+            if hasattr(self, "objective_values_individual"):
+                self.objective_values_individual = list(
+                    extras.get("objective_values_individual", [])
+                )
 
         flat0, unflatten = ravel_pytree(initial_guess)
         objective_and_grad = jax.jit(
@@ -189,12 +207,13 @@ class OptimizationRunnerMixin:
                     self.design_values[-1],
                     objective_values=self.objective_values,
                     design_values=self.design_values,
+                    extras=self._history_extras(),
                 )
             if verbose:
                 print(f"Iteration: {len(self.objective_values)}\n"
                       f"Objective = {self.objective_values[-1]}")
 
-        x_final, _ = run_mma(
+        x_final, history = run_mma(
             objective_and_grad,
             flat0,
             xmin=xmin,
@@ -204,9 +223,35 @@ class OptimizationRunnerMixin:
             maximize=True,
             callback=callback,
             move_limit=move_limit,
+            max_seconds=max_seconds,
         )
+        if history.get("stopped_early") and checkpoint is not None \
+                and self.design_values:
+            checkpoint.save(
+                len(self.objective_values),
+                self.design_values[-1],
+                objective_values=self.objective_values,
+                design_values=self.design_values,
+                extras=self._history_extras(),
+                force=True,
+            )
         self.compute_best_forward()
         return unflatten(x_final)
+
+    def _history_extras(self):
+        """Auxiliary per-iteration histories persisted with checkpoints."""
+
+        extras = {}
+        if getattr(self, "constraints_violation", None) is not None:
+            extras["constraints_violation"] = {
+                name: list(values)
+                for name, values in self.constraints_violation.items()
+            }
+        if getattr(self, "objective_values_individual", None) is not None:
+            extras["objective_values_individual"] = list(
+                self.objective_values_individual
+            )
+        return extras
 
     def run_optimization_optax(
         self,

@@ -107,6 +107,12 @@ def apply_scatter(S_chan, S_row, S_col, values):
     operands to bf16 passes, which would quantize the drive displacements
     (one-hot entries are exact either way)."""
 
+    if values.shape[0] == 0:
+        # No scatter targets (scatter_factors pads its matrices to k=1, so
+        # a zero-length value vector would otherwise be a shape mismatch).
+        return jnp.zeros(
+            (S_chan.shape[0], S_row.shape[0], S_col.shape[1]), values.dtype
+        )
     weighted = values[:, None] * S_col  # (k, n1)
     return jnp.stack(
         [

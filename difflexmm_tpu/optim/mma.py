@@ -20,6 +20,7 @@ asymptotes — a new method for structural optimization", IJNME 24:359-373,
   two (m, n) matvecs — MXU-friendly).
 """
 
+import time
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -167,6 +168,17 @@ def mma_update(
         sp, sq = jnp.sqrt(p0), jnp.sqrt(q0)
         x_new = jnp.clip((low * sp + upp * sq) / (sp + sq), alpha, beta)
     else:
+        # Row-normalize each constraint by its gradient norm: the feasible
+        # set {fi <= 0} is unchanged, but the dual becomes well-conditioned
+        # when constraint scales span orders of magnitude (mixed
+        # void-angle/edge-length sets do) — without this the projected-Adam
+        # dual stalls at ~1e-3 persistent violations
+        # (tests/test_optim.py::test_mma_dual_kkt_residual...).
+        row_scale = jnp.maximum(
+            jnp.linalg.norm(dfi, axis=1, keepdims=True), 1e-30
+        )
+        fi = fi / row_scale[:, 0]
+        dfi = dfi / row_scale
         P = u_x[None, :] ** 2 * jnp.maximum(dfi, 0)
         Q = x_l[None, :] ** 2 * jnp.maximum(-dfi, 0)
         b = P @ (1.0 / u_x) + Q @ (1.0 / x_l) - fi
@@ -196,6 +208,7 @@ def run_mma(
     n_dual_iters: int = 100,
     move_limit: float = _MOVE,
     max_backtracks: int = 8,
+    max_seconds: Optional[float] = None,
 ):
     """Run an MMA optimization loop on flat design vectors.
 
@@ -214,15 +227,28 @@ def run_mma(
             non-finite (e.g. the design left the solver's stability region),
             bisect back toward the last finite iterate up to this many times
             before giving up.
+        max_seconds: optional wall-clock cap (parity with nlopt's
+            ``opt.set_maxtime``, reference problems/quads_focusing.py:645-646):
+            the loop stops cleanly before starting an iteration once the
+            budget is spent, returning the history so far with
+            ``history["stopped_early"] = "max_seconds"``.
 
     Returns:
         (x_best_last, history dict with per-iteration objective values,
-        designs, and max constraint violations).
+        designs, max constraint violations, and per-iteration ``rejected``
+        flags — a rejected iteration re-logs the last accepted iterate, so
+        convergence plots / resume logic should skip flagged entries).
     """
 
     sign = -1.0 if maximize else 1.0
+    deadline = None if max_seconds is None else time.monotonic() + max_seconds
     state = mma_init(jnp.asarray(x0), jnp.asarray(xmin), jnp.asarray(xmax))
-    history = {"objective_values": [], "design_values": [], "constraints_violation": []}
+    history = {
+        "objective_values": [],
+        "design_values": [],
+        "constraints_violation": [],
+        "rejected": [],
+    }
 
     update = jax.jit(
         lambda s, g, fi, dfi, scale: mma_update(
@@ -257,6 +283,10 @@ def run_mma(
     move_scale = 1.0
     accepted = None  # (value, grad) at x_prev1 - rejection retreat is free
     for it in range(n_iterations):
+        if deadline is not None and time.monotonic() > deadline:
+            history["stopped_early"] = "max_seconds"
+            break
+        rejected = False
         value, grad, finite = evaluate(state.x)
         backtracks = 0
         while not finite and backtracks < max_backtracks and it > 0:
@@ -270,6 +300,7 @@ def run_mma(
             state = state._replace(x=state.x_prev1)
             value, grad = accepted
             finite = True
+            rejected = True
             move_scale = max(move_scale / 4, 1e-4)
         elif backtracks:
             move_scale = max(move_scale / 2, 1e-4)
@@ -299,6 +330,7 @@ def run_mma(
         history["objective_values"].append(value)
         history["design_values"].append(state.x_prev1)
         history["constraints_violation"].append(violation)
+        history["rejected"].append(rejected)
         if callback is not None:
             # fi was evaluated at the pre-update state.x == x_prev1 now,
             # so callbacks can log per-constraint data without recomputing.

@@ -6,8 +6,10 @@ from difflexmm_tpu.parallel.mesh import (  # noqa: F401
     scenario_sharding,
 )
 from difflexmm_tpu.parallel.multistart import (  # noqa: F401
+    MultistartMMAResult,
     MultistartResult,
     random_initial_designs,
+    run_multistart_mma,
     run_multistart_optax,
 )
 from difflexmm_tpu.parallel.scenarios import (  # noqa: F401

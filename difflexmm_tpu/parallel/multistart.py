@@ -105,6 +105,140 @@ def run_multistart_optax(
     return MultistartResult(designs, values, best, best_design)
 
 
+class MultistartMMAResult(NamedTuple):
+    designs: any            # (B, n) final accepted iterates
+    objective_values: any   # (n_iterations, B)
+    constraints_violation: any  # (n_iterations, B) max violation (0 if none)
+    rejected: any           # (n_iterations, B) full-rejection flags
+    best_index: any
+    best_design: any        # (n,)
+
+
+def run_multistart_mma(
+    objective_and_grad: Callable,
+    initial_designs,
+    xmin,
+    xmax,
+    n_iterations: int,
+    constraints_and_jac: Optional[Callable] = None,
+    maximize: bool = False,
+    move_limit: float = 0.5,
+    n_dual_iters: int = 100,
+    mesh=None,
+    axis_name: str = SCENARIO_AXIS,
+) -> MultistartMMAResult:
+    """Constrained multi-start: a population of MMA runs, one update per
+    step, entirely on-device.
+
+    The reference's restart workflow runs full nlopt-MMA once per random
+    initial guess, sequentially (problems/quads_focusing.py:546-649 driven
+    by the random_initial_guess notebook). Here ``optim.mma.mma_update`` is
+    pure jnp, so the whole population advances with one ``vmap``-ed update —
+    including per-candidate constraint jacobians and per-candidate
+    trust-region scales. Candidates that step outside the solver's stability
+    region (non-finite value/grad) retreat to their last accepted iterate
+    with a shrunken move limit, exactly like ``run_mma``'s full-reject
+    branch (minus the host-side bisection backtracks, which a fixed
+    device-side iteration cannot express).
+
+    Memory: with m constraints and n design vars the vmapped jacobian is
+    (B, m, n) — size the population (or shard it over ``mesh``) accordingly.
+
+    Args:
+        objective_and_grad: ``x (n,) -> (value, grad)`` for ONE candidate.
+        initial_designs: (B, n) stacked flat candidates.
+        xmin/xmax: (n,) or scalar bounds.
+        constraints_and_jac: optional ``x -> (fi (m,), dfi (m, n))``,
+            feasible iff fi <= 0, for ONE candidate.
+        mesh: optional device mesh; candidates shard over ``axis_name``.
+
+    Returns:
+        MultistartMMAResult; ``best_design`` is the best final accepted
+        iterate among candidates whose final evaluation was finite.
+    """
+
+    from difflexmm_tpu.optim.mma import mma_init, mma_update
+
+    initial_designs = jnp.asarray(initial_designs)
+    B, n = initial_designs.shape
+    xmin = jnp.broadcast_to(jnp.asarray(xmin, initial_designs.dtype), (n,))
+    xmax = jnp.broadcast_to(jnp.asarray(xmax, initial_designs.dtype), (n,))
+    sign = -1.0 if maximize else 1.0
+
+    def candidate_iter(state, move_scale, acc_value, acc_grad):
+        value, grad = objective_and_grad(state.x)
+        finite = jnp.isfinite(value) & jnp.all(jnp.isfinite(grad))
+        fresh = state.iteration == 0
+        # Full reject: retreat to the last accepted iterate, reuse its
+        # (value, grad) — free, they were computed last iteration.
+        reject = (~finite) & (~fresh)
+        x_eval = jnp.where(reject, state.x_prev1, state.x)
+        value = jnp.where(reject, acc_value, value)
+        grad = jnp.where(reject, acc_grad, grad)
+        state = state._replace(x=x_eval)
+        move_scale = jnp.where(
+            reject,
+            jnp.maximum(move_scale / 4, 1e-4),
+            jnp.minimum(move_scale * 1.25, 1.0),
+        )
+
+        if constraints_and_jac is not None:
+            fi, dfi = constraints_and_jac(x_eval)
+            violation = jnp.max(fi) if fi.size else jnp.asarray(0.0)
+        else:
+            fi, dfi = None, None
+            violation = jnp.asarray(0.0, value.dtype)
+        state = mma_update(
+            state, sign * grad, fi, dfi, xmin, xmax,
+            n_dual_iters=n_dual_iters, move_limit=move_limit * move_scale,
+        )
+        return state, move_scale, value, grad, violation, reject
+
+    batched_iter = jax.vmap(candidate_iter)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        batched_iter = jax.shard_map(
+            batched_iter,
+            mesh=mesh,
+            in_specs=(P(axis_name),) * 4,
+            out_specs=(P(axis_name),) * 6,
+            check_vma=False,
+        )
+
+    @jax.jit
+    def sweep(designs):
+        states = jax.vmap(mma_init, in_axes=(0, None, None))(designs, xmin, xmax)
+        carry0 = (
+            states,
+            jnp.ones((B,), designs.dtype),
+            jnp.zeros((B,), designs.dtype),
+            jnp.zeros((B, n), designs.dtype),
+        )
+
+        def iteration(carry, _):
+            states, move_scale, acc_v, acc_g = carry
+            states, move_scale, value, grad, violation, reject = batched_iter(
+                states, move_scale, acc_v, acc_g
+            )
+            return (states, move_scale, value, grad), (value, violation, reject)
+
+        (states, _, final_v, _), (values, violations, rejected) = jax.lax.scan(
+            iteration, carry0, None, length=n_iterations
+        )
+        # states.x is the final un-evaluated proposal; x_prev1 is the last
+        # EVALUATED iterate (same convention as run_mma's return).
+        return states.x_prev1, values, violations, rejected, final_v
+
+    designs, values, violations, rejected, final_v = sweep(initial_designs)
+    ranked = jnp.where(jnp.isfinite(final_v), final_v,
+                       -jnp.inf if maximize else jnp.inf)
+    best = jnp.argmax(ranked) if maximize else jnp.argmin(ranked)
+    return MultistartMMAResult(
+        designs, values, violations, rejected, best, designs[best]
+    )
+
+
 def random_initial_designs(key, base_design, n_candidates: int, scale: float):
     """Jittered candidates around a base design (leading candidate axis)."""
 

@@ -315,9 +315,18 @@ def setup_dynamic_solver(
             dtype,
         ):
             """Whole-trajectory kernel for a given constraint/loading params
-            key set and output-grid length (cache key includes all)."""
+            key set and output-grid length (cache key includes all).
 
-            cache_key = (keys, lkeys, n_timepoints)
+            The cache is also keyed by the ambient abstract mesh: the drive
+            closure's jaxpr bakes sharding params (e.g. broadcast_in_dim)
+            from the trace it was built under, so a jaxpr traced inside
+            shard_map (Manual axes) cannot be re-evaluated in a plain trace
+            whose values carry the mesh with Auto axes — JAX raises
+            "Mesh for all inputs should be equal" deep in the energy."""
+
+            cache_key = (
+                keys, lkeys, n_timepoints, jax.sharding.get_abstract_mesh()
+            )
             if cache_key not in _interval_cache:
                 def raw_drive(t, *args):
                     # Drive args arrive Pallas-shaped ((1,1) scalars);

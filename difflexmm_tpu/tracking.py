@@ -211,8 +211,12 @@ def fit_damped_oscillation(
     """
 
     signal = np.asarray(signal, dtype=float)
-    detrended = signal - signal.mean()
-    t = np.arange(len(detrended)) / framerate
+    t = np.arange(len(signal)) / framerate
+    # Linear detrend (not mean-only): a slow baseline drift shifts late
+    # noise peaks positive, letting them pass the noise-floor filter below
+    # and biasing the log-decay slope.
+    drift = np.polyval(np.polyfit(t, signal, 1), t)
+    detrended = signal - drift
 
     # Positive peaks separated by at least peak_distance samples.
     candidates = np.nonzero(

@@ -339,6 +339,34 @@ def test_continuous_bond_drawing(tmp_path):
     assert len(d.polygons) == geo.n_blocks
 
 
+def test_continuous_bond_serpentine_pairing():
+    """Pin the internal-segment pairing: orientation alternates by the
+    block's actual lattice column (or row) — the intended serpentine; the
+    reference's generator mispairs on non-square lattices through a
+    loop-order quirk (see continuous_bond_lines docstring)."""
+
+    geo, bc, cnv, bonds, rbv = _rs_arrays()
+    assert geo.n1_blocks != geo.n2_blocks  # quirk only visible off-square
+    offset = 0.5
+    nodes = cnv + bc[:, None, :]
+    shifted = nodes - offset * cnv / np.linalg.norm(cnv, axis=-1, keepdims=True)
+
+    for orientation in ("column", "row"):
+        lines = continuous_bond_lines(
+            bc, cnv, bonds, rbv, geo.n1_blocks, geo.n2_blocks,
+            offset_type="constant", offset_size=offset,
+            path_orientation=orientation,
+        )
+        for b in range(geo.n_blocks):
+            i, j = b % geo.n1_blocks, b // geo.n1_blocks
+            parity = (i if orientation == "column" else j) % 2
+            expected = ((0, 1), (2, 3)) if parity == 0 else ((0, 3), (1, 2))
+            for seg, (a, c) in zip(
+                lines[len(bonds) + 2 * b:len(bonds) + 2 * b + 2], expected
+            ):
+                assert np.allclose(seg, shifted[b][np.array([a, c])])
+
+
 def test_shims_cut_drawing(tmp_path):
     d = shims_cut_drawing(6, 20.0, 8.0, 2.0, tmp_path / "shims.svg", n_rows=3)
     assert len(d.polygons) == 6 and len(d.circles) == 24

@@ -66,3 +66,153 @@ def test_multistart_on_simulation():
     assert result.objective_values.shape == (3, 4)
     assert jnp.all(jnp.isfinite(result.objective_values))
     assert jax.tree.structure(result.best_design) == jax.tree.structure(base)
+
+
+def test_multistart_mma_matches_sequential():
+    """Batched constrained MMA == a loop of sequential run_mma restarts
+    (identical update math; per-candidate trust-region scales)."""
+
+    import numpy as np
+    from difflexmm_tpu.optim.mma import run_mma
+    from difflexmm_tpu.parallel import run_multistart_mma
+
+    # Constrained quadratic: min ||x - t||^2 s.t. sum(x) <= 1.
+    target = jnp.array([1.0, 0.8, -0.2])
+
+    def objective_and_grad(x):
+        return jnp.sum((x - target) ** 2), 2.0 * (x - target)
+
+    def constraints_and_jac(x):
+        return (jnp.sum(x) - 1.0)[None], jnp.ones((1, 3))
+
+    designs = jnp.stack([jnp.zeros(3), 0.3 * jnp.ones(3), -0.5 * jnp.ones(3)])
+    xmin, xmax = -2.0 * jnp.ones(3), 2.0 * jnp.ones(3)
+
+    result = run_multistart_mma(
+        objective_and_grad, designs, xmin, xmax, n_iterations=40,
+        constraints_and_jac=constraints_and_jac, move_limit=0.3,
+    )
+    assert result.objective_values.shape == (40, 3)
+    assert not result.rejected.any()
+
+    for b in range(3):
+        x_seq, hist = run_mma(
+            objective_and_grad, designs[b], xmin, xmax, n_iterations=40,
+            constraints_and_jac=lambda x: constraints_and_jac(x),
+            move_limit=0.3,
+        )
+        assert np.allclose(np.asarray(result.designs[b]), np.asarray(x_seq),
+                           atol=1e-12), b
+        assert np.allclose(np.asarray(result.objective_values[:, b]),
+                           np.asarray(hist["objective_values"]), atol=1e-12)
+
+    # Feasible (asymptotically) at the constraint surface.
+    assert float(jnp.sum(result.best_design)) <= 1.0 + 1e-3
+
+
+def test_multistart_mma_sharded_matches_vmap():
+    from difflexmm_tpu.parallel import run_multistart_mma
+
+    def objective_and_grad(x):
+        v = jnp.sum((x - 1.5) ** 2)
+        return v, 2.0 * (x - 1.5)
+
+    designs = jnp.linspace(-1.0, 1.0, 8)[:, None] * jnp.ones((8, 4))
+    xmin, xmax = -2.0 * jnp.ones(4), 2.0 * jnp.ones(4)
+    r_vmap = run_multistart_mma(
+        objective_and_grad, designs, xmin, xmax, n_iterations=30
+    )
+    r_mesh = run_multistart_mma(
+        objective_and_grad, designs, xmin, xmax, n_iterations=30,
+        mesh=make_mesh(),
+    )
+    assert jnp.allclose(r_vmap.objective_values, r_mesh.objective_values)
+    assert jnp.allclose(r_vmap.designs, r_mesh.designs)
+
+
+def test_multistart_mma_rejects_nonfinite_candidates():
+    """A candidate stepping past a stability wall retreats per-candidate
+    while the others advance unaffected."""
+
+    from difflexmm_tpu.parallel import run_multistart_mma
+
+    def objective_and_grad(x):
+        v = jnp.sum((x - 1.0) ** 2)
+        bad = jnp.any(x > 0.6)
+        return jnp.where(bad, jnp.nan, v), jnp.where(bad, jnp.nan, 2 * (x - 1.0))
+
+    designs = jnp.stack([jnp.zeros(2), jnp.full((2,), -1.5)])
+    result = run_multistart_mma(
+        objective_and_grad, designs, -2.0 * jnp.ones(2), 2.0 * jnp.ones(2),
+        n_iterations=25, move_limit=0.5,
+    )
+    assert result.rejected.any()
+    assert jnp.all(jnp.isfinite(result.objective_values[-1]))
+    assert jnp.all(result.designs <= 0.6 + 1e-9)
+    # Both candidates still approached the wall.
+    assert jnp.all(jnp.max(result.designs, axis=1) > 0.4)
+
+
+@pytest.mark.slow
+def test_multistart_mma_on_simulation():
+    """Batched constrained restarts on a tiny focusing problem, vs the
+    sequential restart workflow (reference random_initial_guess pattern,
+    problems/quads_focusing.py:546-649)."""
+
+    import numpy as np
+    from difflexmm_tpu.models.quads_focusing import (
+        ForwardProblem,
+        OptimizationProblem,
+    )
+    from difflexmm_tpu.optim.loops import ravel_pytree
+    from difflexmm_tpu.optim.mma import run_mma
+    from difflexmm_tpu.parallel import run_multistart_mma
+
+    problem = ForwardProblem(
+        n1_blocks=5, n2_blocks=5, spacing=1.0, bond_length=0.1,
+        k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0, damping=0.02,
+        amplitude=0.15, loading_rate=2.0, input_delay=0.0,
+        n_excited_blocks=2, loaded_side="left",
+        simulation_time=2.0, n_timepoints=5, n_substeps=12,
+        method="verlet_ckpt",
+    )
+    opt = OptimizationProblem(problem, target_size=(2, 2))
+    opt.setup_objective()
+    base = problem.geometry.get_design_from_rotated_square(0.25)
+    flat0, unflatten = ravel_pytree(base)
+
+    def objective_and_grad(x):
+        v, g = jax.value_and_grad(lambda xx: opt.objective_fn(unflatten(xx)))(x)
+        return v, g
+
+    constraint = opt.forward_problem.geometry  # noqa: F841 (geometry built)
+    fns = opt._design_constraints(0.0, 0.0, 0.05, False)
+    stacked = lambda x: jnp.concatenate([fn(unflatten(x)) for _, fn in fns])
+    constraints_and_jac = lambda x: (stacked(x), jax.jacobian(stacked)(x))
+
+    B = 3
+    key = jax.random.PRNGKey(2)
+    designs = flat0[None] + 0.01 * jax.random.normal(key, (B, flat0.size))
+    xmin = jnp.full_like(flat0, -0.3)
+    xmax = jnp.full_like(flat0, 0.3)
+
+    result = run_multistart_mma(
+        objective_and_grad, designs, xmin, xmax, n_iterations=2,
+        constraints_and_jac=constraints_and_jac, maximize=True,
+        move_limit=0.1,
+    )
+    assert result.objective_values.shape == (2, B)
+    assert jnp.all(jnp.isfinite(result.objective_values))
+
+    # Candidate 0 must match a sequential run_mma restart exactly.
+    x_seq, hist = run_mma(
+        jax.jit(objective_and_grad), designs[0], xmin, xmax, n_iterations=2,
+        constraints_and_jac=jax.jit(constraints_and_jac), maximize=True,
+        move_limit=0.1,
+    )
+    assert np.allclose(
+        np.asarray(result.objective_values[:, 0]),
+        np.asarray(hist["objective_values"]), rtol=1e-12,
+    )
+    assert np.allclose(np.asarray(result.designs[0]), np.asarray(x_seq),
+                       atol=1e-10)

@@ -219,7 +219,7 @@ def tensile_oracle_f32(record):
     def loading(state, t, final_load):
         return final_load * jnp.where(t < loading_rate**-1, t * loading_rate, 1.0)
 
-    solve = setup_dynamic_solver(
+    solver_kwargs = dict(
         geometry=geometry,
         energy_fn=build_strain_energy(bonds(), ligament_energy),
         loaded_block_DOF_pairs=jnp.array(
@@ -228,8 +228,18 @@ def tensile_oracle_f32(record):
         loading_fn=loading,
         constrained_block_DOF_pairs=jnp.array([[0, 0], [geometry.n1_blocks, 0]]),
         damped_blocks=jnp.arange(geometry.n_blocks),
-        method="verlet",
         n_substeps=128,
+    )
+    solve = setup_dynamic_solver(method="verlet", **solver_kwargs)
+    # Compiled fused-loading path (S_load factorized scatter + the Mosaic
+    # trajectory kernel) driven by the same force-controlled oracle — the
+    # only on-chip coverage of loaded_block_DOF_pairs through Pallas.
+    solve_pallas = setup_dynamic_solver(
+        method="verlet_pallas",
+        quad_grid=dict(
+            n1=geometry.n1_blocks, n2=geometry.n2_blocks, use_contact=False
+        ),
+        **solver_kwargs,
     )
     timepoints = jnp.linspace(0, 3 / loading_rate, 100)
     state0 = jnp.zeros((2, geometry.n_blocks, 3))
@@ -255,19 +265,31 @@ def tensile_oracle_f32(record):
         )
 
     solve_jit = jax.jit(solve)
-    errs = {}
+    solve_pallas_jit = jax.jit(solve_pallas)
+    errs, errs_pallas, traj_devs = {}, {}, {}
     for strain in (0.2, 0.4, 0.6):
         sol = solve_jit(state0, timepoints, cp(strain))
-        simulated = float(
-            sol[-1, 0, geometry.n1_blocks - 1, 0]
-            / (geometry.spacing * (geometry.n1_blocks - 1))
-        )
+        sol_p = solve_pallas_jit(state0, timepoints, cp(strain))
+        gauge = geometry.spacing * (geometry.n1_blocks - 1)
+        tip = geometry.n1_blocks - 1
+        simulated = float(sol[-1, 0, tip, 0] / gauge)
+        simulated_p = float(sol_p[-1, 0, tip, 0] / gauge)
         errs[str(strain)] = abs(simulated - strain) / strain
+        errs_pallas[str(strain)] = abs(simulated_p - strain) / strain
+        traj_devs[str(strain)] = float(jnp.max(jnp.abs(sol_p - sol)))
     record["tensile_f32"] = {
         "strain_rel_errs": errs,
+        "strain_rel_errs_pallas_fused_loading": errs_pallas,
+        "pallas_vs_xla_max_trajectory_dev": traj_devs,
         "dtype": str(jnp.zeros(1).dtype),
     }
-    return max(errs.values()) < TOL_TENSILE_STRAIN_F32
+    # The fused-loading kernel must hit the same physics oracle AND track
+    # the XLA trajectory to f32/poly-atan2 noise (displacements are O(1)).
+    return (
+        max(errs.values()) < TOL_TENSILE_STRAIN_F32
+        and max(errs_pallas.values()) < TOL_TENSILE_STRAIN_F32
+        and max(traj_devs.values()) < 1e-3
+    )
 
 
 def main():
