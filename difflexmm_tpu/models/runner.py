@@ -253,6 +253,84 @@ class OptimizationRunnerMixin:
             )
         return extras
 
+    def run_multistart_mma(
+        self,
+        initial_guesses,
+        n_iterations: int,
+        lower_bound: Optional[float] = None,
+        upper_bound: Optional[float] = None,
+        min_void_angle: Optional[float] = None,
+        min_block_angle: Optional[float] = None,
+        min_edge_length: Optional[float] = None,
+        boundary_angle_constraint: bool = False,
+        move_limit: float = 0.2,
+        mesh=None,
+    ):
+        """Batched constrained restarts: every candidate runs a full MMA
+        optimization concurrently (one vmapped update per step).
+
+        Replaces the reference's sequential random-restart workflow
+        (problems/quads_focusing.py:546-649 re-run per initial guess in the
+        random_initial_guess notebook). ``initial_guesses`` is a list of
+        design pytrees; returns the ``MultistartMMAResult`` and records the
+        best candidate in the iteration histories so
+        ``compute_best_forward`` works as usual.
+        """
+
+        from difflexmm_tpu.parallel import run_multistart_mma as _run
+
+        if not self.is_setup:
+            self.setup_objective()
+
+        flats = []
+        unflatten = None
+        for guess in initial_guesses:
+            flat, unflatten = ravel_pytree(guess)
+            flats.append(flat)
+        designs = jnp.stack(flats)
+
+        def objective_and_grad(x):
+            return jax.value_and_grad(
+                lambda xx: self.objective_fn(unflatten(xx))
+            )(x)
+
+        constraint_fns = self._design_constraints(
+            min_void_angle, min_block_angle, min_edge_length,
+            boundary_angle_constraint,
+        )
+        if constraint_fns:
+            fns = [fn for _, fn in constraint_fns]
+
+            def stacked(x):
+                return jnp.concatenate([fn(unflatten(x)) for fn in fns])
+
+            def constraints_and_jac(x):
+                return stacked(x), jax.jacobian(stacked)(x)
+        else:
+            constraints_and_jac = None
+
+        span = float(jnp.max(jnp.abs(designs))) + 1.0
+        xmin = jnp.full(designs.shape[1:],
+                        lower_bound if lower_bound is not None else -10 * span)
+        xmax = jnp.full(designs.shape[1:],
+                        upper_bound if upper_bound is not None else 10 * span)
+
+        result = _run(
+            objective_and_grad,
+            designs,
+            xmin,
+            xmax,
+            n_iterations=n_iterations,
+            constraints_and_jac=constraints_and_jac,
+            maximize=True,
+            move_limit=move_limit,
+            mesh=mesh,
+        )
+        best_values = result.objective_values[:, result.best_index]
+        self.objective_values.extend(float(v) for v in best_values)
+        self.design_values.append(unflatten(result.best_design))
+        return result
+
     def run_optimization_optax(
         self,
         initial_guess,

@@ -152,6 +152,7 @@ def setup_dynamic_solver(
     quad_grid: Optional[dict] = None,
     kagome_grid: Optional[dict] = None,
     pallas_interpret: bool = False,
+    pallas_chunk: Optional[int] = None,
 ):
     """Set up the dynamic solver.
 
@@ -178,6 +179,9 @@ def setup_dynamic_solver(
             triangular blocks per cell; ops/pallas/verlet_kagome.py).
         pallas_interpret: run the Pallas kernel in interpreter mode
             (debugging / CPU test parity).
+        pallas_chunk: output intervals per Pallas grid step (default: sized
+            from the VMEM budget; see ops/pallas/core.default_chunk). Also
+            used by tests to force ragged last chunks at small sizes.
     """
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
@@ -362,6 +366,7 @@ def setup_dynamic_solver(
                     load_values_fn=load_conv,
                     linearized=g_linearized, use_contact=g_contact,
                     interpret=pallas_interpret,
+                    chunk=pallas_chunk,
                     # verlet_ckpt: identical math and stored-state adjoint,
                     # but the forward is a plain scan - XLA fills the VPU
                     # lanes under large vmap batches where the SoA kernel's

