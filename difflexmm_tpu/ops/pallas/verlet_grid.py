@@ -120,10 +120,13 @@ def quad_grid_energy_planes(
     cmin, ccut, kc,
     linearized: bool = False,
     use_contact: bool = True,
+    include_strain: bool = True,
 ):
     """Total strain (+ contact) energy of the quad lattice on planes.
 
     Same physics as ops/grid.py:quad_grid_energy_core, in SoA layout.
+    ``include_strain=False`` returns the contact term alone (used to split
+    the gradient graph when register pressure matters).
     """
 
     ux, uy, th = U[0], U[1], U[2]
@@ -133,21 +136,23 @@ def quad_grid_energy_planes(
     dx = [ux + (cth - 1.0) * cnv[k, 0] - sth * cnv[k, 1] for k in range(4)]
     dy = [uy + sth * cnv[k, 0] + (cth - 1.0) * cnv[k, 1] for k in range(4)]
 
-    # Horizontal bonds: corner 0 of (j, i) -> corner 2 of (j, i+1).
-    hUx = dx[2][:, 1:] - dx[0][:, :-1]
-    hUy = dy[2][:, 1:] - dy[0][:, :-1]
-    e_h = _ligament_planes(
-        hUx, hUy, th[:, :-1], th[:, 1:], ref_h[0], ref_h[1],
-        ks_h, ksh_h, kr_h, linearized,
-    )
-    # Vertical bonds: corner 1 of (j, i) -> corner 3 of (j+1, i).
-    vUx = dx[3][1:, :] - dx[1][:-1, :]
-    vUy = dy[3][1:, :] - dy[1][:-1, :]
-    e_v = _ligament_planes(
-        vUx, vUy, th[:-1, :], th[1:, :], ref_v[0], ref_v[1],
-        ks_v, ksh_v, kr_v, linearized,
-    )
-    energy = jnp.sum(e_h) + jnp.sum(e_v)
+    energy = 0.0
+    if include_strain:
+        # Horizontal bonds: corner 0 of (j, i) -> corner 2 of (j, i+1).
+        hUx = dx[2][:, 1:] - dx[0][:, :-1]
+        hUy = dy[2][:, 1:] - dy[0][:, :-1]
+        e_h = _ligament_planes(
+            hUx, hUy, th[:, :-1], th[:, 1:], ref_h[0], ref_h[1],
+            ks_h, ksh_h, kr_h, linearized,
+        )
+        # Vertical bonds: corner 1 of (j, i) -> corner 3 of (j+1, i).
+        vUx = dx[3][1:, :] - dx[1][:-1, :]
+        vUy = dy[3][1:, :] - dy[1][:-1, :]
+        e_v = _ligament_planes(
+            vUx, vUy, th[:-1, :], th[1:, :], ref_v[0], ref_v[1],
+            ks_v, ksh_v, kr_v, linearized,
+        )
+        energy = jnp.sum(e_h) + jnp.sum(e_v)
 
     if not use_contact:
         return energy
