@@ -235,7 +235,8 @@ class OptimizationRunnerMixin:
                 extras=self._history_extras(),
                 force=True,
             )
-        self.compute_best_forward()
+        if self.design_values:
+            self.compute_best_forward()
         return unflatten(x_final)
 
     def _history_extras(self):

@@ -77,3 +77,57 @@ def test_checkpoint_resume_in_mma_runner(tmp_path):
         verbose=False, checkpoint=ckpt, resume=True,
     )
     assert len(opt2.objective_values) == 3  # 2 restored + 1 new
+
+
+@pytest.mark.slow
+def test_max_seconds_expiry_checkpoint_and_aligned_resume(tmp_path):
+    """Wall-clock expiry forces a snapshot; resuming restores ALL histories
+    (objective, design, per-group constraint violations) index-aligned."""
+
+    from difflexmm_tpu.models.quads_focusing import (
+        ForwardProblem,
+        OptimizationProblem,
+    )
+
+    def make_opt():
+        problem = ForwardProblem(
+            n1_blocks=5, n2_blocks=5, spacing=1.0, bond_length=0.1,
+            k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0,
+            damping=0.02, amplitude=0.15, loading_rate=2.0, input_delay=0.0,
+            n_excited_blocks=2, loaded_side="left",
+            simulation_time=2.0, n_timepoints=5, n_substeps=12,
+        )
+        return OptimizationProblem(problem, target_size=(2, 2))
+
+    # Snapshot cadence chosen to NOT be due at the expiry iteration, so
+    # only the forced expiry save can explain a fresh snapshot.
+    ckpt = OptimizationCheckpoint(tmp_path / "opt.ckpt", every=1000)
+
+    opt1 = make_opt()
+    opt1.setup_objective()
+    design0 = opt1.forward_problem.geometry.get_design_from_rotated_square(0.25)
+    opt1.run_optimization_mma(
+        design0, n_iterations=10_000, lower_bound=-0.3, upper_bound=0.3,
+        min_void_angle=0.0, min_block_angle=0.0, min_edge_length=0.05,
+        verbose=False, checkpoint=ckpt,
+        # Iteration 0 includes the jit compile (tens of seconds on CPU),
+        # so this deterministically expires right after it: exactly one
+        # iteration runs.
+        max_seconds=0.5,
+    )
+    n_done = len(opt1.objective_values)
+    assert 0 < n_done < 10_000
+    assert ckpt.exists()  # forced snapshot on expiry
+
+    opt2 = make_opt()
+    opt2.setup_objective()
+    opt2.run_optimization_mma(
+        design0, n_iterations=1, lower_bound=-0.3, upper_bound=0.3,
+        min_void_angle=0.0, min_block_angle=0.0, min_edge_length=0.05,
+        verbose=False, checkpoint=ckpt, resume=True,
+    )
+    assert len(opt2.objective_values) == n_done + 1
+    # Constraint-violation histories stay index-aligned after resume
+    # (ADVICE r2: they used to restart empty).
+    for name, values in opt2.constraints_violation.items():
+        assert len(values) == n_done + 1, name
