@@ -259,3 +259,69 @@ def test_mesh_trace_then_unsharded_reuse():
     individual = jax.jit(opt.objective_fn_individual)(poisoned)
     assert individual.shape == (n,)
     assert jnp.all(jnp.isfinite(individual))
+
+
+# ---------------------------------------------------------------------------
+# experiment-playback drives (excited_blocks_fn) on the fast backends
+
+
+def _playback_problem(method, excited_blocks_fn, **overrides):
+    from difflexmm_tpu.models.quads_focusing import ForwardProblem
+
+    params = dict(
+        n1_blocks=5, n2_blocks=5, spacing=1.0, bond_length=0.1,
+        k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0, damping=0.02,
+        amplitude=0.0, loading_rate=1.0, input_delay=0.0,  # unused by playback
+        n_excited_blocks=2, loaded_side="left",
+        simulation_time=2.0, n_timepoints=5, n_substeps=10,
+        method=method,
+    )
+    params.update(overrides)
+    problem = ForwardProblem(**params)
+    problem.setup(excited_blocks_fn=excited_blocks_fn)
+    return problem
+
+
+def test_experiment_playback_drive_verlet_ckpt():
+    """A tracked-experiment drive (jnp.interp playback of a sampled
+    boundary signal, the exp/*/experiment_vs_simulation workflow —
+    reference quads_focusing.py:82,218-227) through the fast custom-vjp
+    backend: the interp data arrays are closure constants the solver must
+    hoist into the cached drive jaxpr."""
+
+    t_samples = jnp.linspace(0.0, 2.0, 32)
+    u_samples = 0.08 * jnp.sin(2.0 * jnp.pi * t_samples) * jnp.exp(-t_samples)
+
+    def playback(t):
+        return jnp.interp(t, t_samples, u_samples)
+
+    ref = _playback_problem("verlet", playback)
+    ckpt = _playback_problem("verlet_ckpt", playback)
+    design = ref.geometry.get_design_from_rotated_square(0.25)
+    f_ref = ref.solve(design).fields
+    f_ckpt = ckpt.solve(design).fields
+    assert jnp.all(jnp.isfinite(f_ref))
+    assert float(jnp.max(jnp.abs(f_ref))) > 1e-3  # playback actually drove
+    assert jnp.allclose(f_ckpt, f_ref, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_experiment_playback_drive_verlet_pallas_interpret():
+    """Gather-free playback (Fourier series — jnp.interp lowers to a
+    gather, which Mosaic cannot; smooth drives are the Pallas-compatible
+    playback form) through the fused kernel in interpret mode."""
+
+    coeffs = jnp.asarray([0.05, -0.02, 0.01])
+
+    def playback(t):
+        k = jnp.arange(1, 4)
+        return jnp.sum(coeffs * jnp.sin(2.0 * jnp.pi * k * t / 2.0))
+
+    ref = _playback_problem("verlet", playback)
+    pal = _playback_problem("verlet_pallas", playback, pallas_interpret=True)
+    design = ref.geometry.get_design_from_rotated_square(0.25)
+    f_ref = ref.solve(design).fields
+    f_pal = pal.solve(design).fields
+    assert jnp.all(jnp.isfinite(f_ref))
+    assert float(jnp.max(jnp.abs(f_ref))) > 1e-3
+    assert jnp.allclose(f_pal, f_ref, atol=1e-6)

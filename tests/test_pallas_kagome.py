@@ -183,3 +183,72 @@ def test_kagome_verlet_ckpt_matches_verlet():
     g_ref = jax.grad(objective(solve_ref))(0.1)
     g_ckpt = jax.grad(objective(solve_ckpt))(0.1)
     assert jnp.allclose(g_ckpt, g_ref, rtol=1e-10)
+
+
+def test_kagome_fused_force_loading_matches_verlet():
+    """Fused time-dependent force loading through the KAGOME binding
+    (S_load factorized scatter on 6-channel planes) == XLA verlet — the
+    quad-side equivalent lives in test_pallas_verlet.py."""
+
+    geo = KagomeGeometry(n1_cells=4, n2_cells=3, bond_length=0.05)
+    geo.compute_geometry()
+    bc, cnv, bond_fn, rbv = geo.get_parametrization()
+    design = geo.zero_design()
+    n1, n2 = 4, 3
+
+    # Clamp the left column's down-triangles; pull two right-edge blocks.
+    clamped = base.all_dofs_pairs(np.arange(n2) * 2 * n1)
+    right = np.array([2 * n1 - 1, 4 * n1 - 1])
+    loaded_pairs = np.stack([right, np.zeros_like(right)], axis=1)
+
+    def loading(state, t, force_amplitude, rate):
+        return force_amplitude * jnp.minimum(t * rate, 1.0)
+
+    kwargs = dict(
+        geometry=geo,
+        energy_fn=build_kagome_grid_energy(n1, n2, ligament_energy),
+        loaded_block_DOF_pairs=loaded_pairs,
+        loading_fn=loading,
+        constrained_block_DOF_pairs=clamped,
+        constrained_DOFs_fn=lambda t, **kw: 0.0,
+        damped_blocks=np.arange(geo.n_blocks),
+        n_substeps=8,
+        kagome_grid=dict(n1=n1, n2=n2, linearized=False),
+    )
+    solve_ref = setup_dynamic_solver(method="verlet", **kwargs)
+    solve_pal = setup_dynamic_solver(
+        method="verlet_pallas", pallas_interpret=True, **kwargs
+    )
+
+    cp = ControlParams(
+        geometrical_params=GeometricalParams(bc(*design), cnv(*design)),
+        mechanical_params=MechanicalParams(
+            bond_params=LigamentParams(1.0, 0.02, 1e-3, rbv()),
+            density=1.0,
+            damping=0.05,
+            contact_params=ContactParams(0.0, jnp.deg2rad(30.0), 1.0),
+        ),
+        constraint_params=dict(),
+        loading_params=dict(force_amplitude=0.01, rate=2.0),
+    )
+    timepoints = jnp.linspace(0.0, 1.0, 6)
+    state0 = jnp.zeros((2, geo.n_blocks, 3))
+
+    sol_ref = solve_ref(state0, timepoints, cp)
+    sol_pal = solve_pal(state0, timepoints, cp)
+    assert float(jnp.max(jnp.abs(sol_ref))) > 1e-5  # the ramp pulled
+    assert jnp.allclose(sol_pal, sol_ref, atol=1e-6)
+
+    # Gradient w.r.t. the load amplitude flows through the fused path.
+    def obj(solve):
+        def fn(amp):
+            cp2 = cp._replace(
+                loading_params=dict(force_amplitude=amp, rate=2.0)
+            )
+            return jnp.sum(solve(state0, timepoints, cp2)[:, 1] ** 2)
+        return fn
+
+    v_ref, g_ref = jax.value_and_grad(obj(solve_ref))(0.01)
+    v_pal, g_pal = jax.value_and_grad(obj(solve_pal))(0.01)
+    assert jnp.allclose(v_pal, v_ref, rtol=1e-6)
+    assert jnp.allclose(g_pal, g_ref, rtol=1e-5)
