@@ -49,6 +49,32 @@ def poly_arctan2(y, x):
     return jnp.where(y >= 0, angle, -angle)
 
 
+def interp_uniform(t, t0, dt, samples):
+    """Linear interpolation of uniformly sampled data, gather-free.
+
+    ``jnp.interp`` lowers to searchsorted + take (a gather), which Mosaic
+    cannot compile — so experiment-playback drives inside the fused Pallas
+    kernels use this instead: the interpolation weights are the linear hat
+    functions ``max(0, 1 - |x - j|)`` evaluated on an index ramp, and the
+    result is their dot with the sample vector (pure elementwise ops + one
+    reduction, O(N) per evaluation). Out-of-range times clamp to the end
+    samples, matching ``jnp.interp``'s default.
+
+    Args:
+        t: scalar (or any-shape) query time.
+        t0, dt: the uniform sample grid ``t0 + dt * arange(N)``.
+        samples: (N,) sampled values.
+    """
+
+    samples = jnp.asarray(samples)
+    n = samples.shape[0]
+    x = jnp.asarray(jnp.clip((t - t0) / dt, 0.0, n - 1.0))
+    # Integer iota then cast: Mosaic's tpu.iota only produces integers.
+    ramp = jnp.arange(n).astype(samples.dtype)
+    weights = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - ramp))
+    return jnp.sum(weights * samples, axis=-1)
+
+
 _IMPL = {"arctan2": jnp.arctan2}
 
 

@@ -142,3 +142,25 @@ def test_kinematics_rigid_rotation_preserves_shape():
         jnp.linalg.norm(new_pos - jnp.array([0.3, -0.2]), axis=-1), 0.5
     )
     assert jnp.allclose(node_DOFs[..., 2], theta)
+
+
+def test_interp_uniform_matches_jnp_interp():
+    """mathx.interp_uniform (the gather-free playback interpolation for
+    Pallas drives) == jnp.interp on uniform grids, incl. end clamping and
+    gradients."""
+
+    from difflexmm_tpu.ops.mathx import interp_uniform
+
+    t0, dt, n = 0.3, 0.07, 41
+    ts = t0 + dt * jnp.arange(n)
+    samples = jnp.sin(3 * ts) + 0.2 * ts
+    queries = jnp.concatenate([
+        jnp.linspace(-0.5, 3.6, 23), ts[:5], jnp.array([t0, t0 + dt * (n - 1)])
+    ])
+    assert jnp.allclose(
+        interp_uniform(queries, t0, dt, samples),
+        jnp.interp(queries, ts, samples), atol=1e-12,
+    )
+    g = jax.grad(lambda t: interp_uniform(t, t0, dt, samples))(1.234)
+    fd = (jnp.interp(1.2341, ts, samples) - jnp.interp(1.2339, ts, samples)) / 2e-4
+    assert jnp.allclose(g, fd, rtol=1e-6)

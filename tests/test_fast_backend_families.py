@@ -307,15 +307,19 @@ def test_experiment_playback_drive_verlet_ckpt():
 
 @pytest.mark.slow
 def test_experiment_playback_drive_verlet_pallas_interpret():
-    """Gather-free playback (Fourier series — jnp.interp lowers to a
-    gather, which Mosaic cannot; smooth drives are the Pallas-compatible
-    playback form) through the fused kernel in interpret mode."""
+    """Sampled-experiment playback through the fused kernel: jnp.interp
+    lowers to a gather (unsupported in Mosaic), so tracked drives use the
+    hat-function interpolation ops/mathx.interp_uniform — verified to
+    compile on-chip and exactly match jnp.interp on uniform grids."""
 
-    coeffs = jnp.asarray([0.05, -0.02, 0.01])
+    from difflexmm_tpu.ops.mathx import interp_uniform
+
+    t_samples = jnp.linspace(0.0, 2.0, 32)
+    u_samples = 0.08 * jnp.sin(2.0 * jnp.pi * t_samples) * jnp.exp(-t_samples)
+    dt_sample = float(t_samples[1] - t_samples[0])
 
     def playback(t):
-        k = jnp.arange(1, 4)
-        return jnp.sum(coeffs * jnp.sin(2.0 * jnp.pi * k * t / 2.0))
+        return interp_uniform(t, 0.0, dt_sample, u_samples)
 
     ref = _playback_problem("verlet", playback)
     pal = _playback_problem("verlet_pallas", playback, pallas_interpret=True)
