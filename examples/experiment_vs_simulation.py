@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from difflexmm_tpu.models.reference_design import ForwardProblem
 from difflexmm_tpu.objectives import compute_space_time_xcorr
+from difflexmm_tpu.ops.mathx import interp_uniform
 
 
 def make_problem(k_shear):
@@ -44,7 +45,8 @@ def space_time_field(solution) -> jnp.ndarray:
 def main() -> None:
     experiment = make_problem(k_shear=0.02)
     experiment.setup()
-    exp_field = space_time_field(experiment.solve())
+    exp_solution = experiment.solve()
+    exp_field = space_time_field(exp_solution)
 
     for k_shear in (0.02, 0.05, 0.2):
         sim = make_problem(k_shear=k_shear)
@@ -59,6 +61,27 @@ def main() -> None:
         )
         print(f"k_shear={k_shear:5.2f}: space-time xcorr={float(xcorr):.4f} "
               f"delay={int(delay)} rel_L2_err={rel_err:.4f}")
+
+    # Stage 2 — the real exp/* workflow: re-drive the simulation with the
+    # MEASURED boundary motion (here, the tracked x-history of a driven
+    # block) played back through the gather-free uniform-grid interpolation
+    # (mathx.interp_uniform — the Pallas-kernel-compatible form, so the
+    # same drive runs on method="verlet_pallas"/"verlet_ckpt" on TPU).
+    t = jnp.asarray(exp_solution.timepoints)
+    measured = exp_solution.fields[:, 0, experiment.driven_blocks_ids[0], 0]
+    t0, dt = float(t[0]), float(t[1] - t[0])
+
+    def playback(tt):
+        return interp_uniform(tt, t0, dt, measured)
+
+    replay = make_problem(k_shear=0.02)
+    if jax.default_backend() == "tpu":
+        replay.method = "verlet_pallas"
+    replay.setup(excited_blocks_fn=playback)
+    replay_field = space_time_field(replay.solve())
+    xcorr, delay = compute_space_time_xcorr(exp_field, replay_field)
+    print(f"measured-drive playback ({replay.method}): "
+          f"xcorr={float(xcorr):.4f} delay={int(delay)}")
 
 
 if __name__ == "__main__":
