@@ -182,13 +182,15 @@ class ForwardProblem:
         timepoints = jnp.linspace(0.0, self.simulation_time, self.n_timepoints)
         state0 = jnp.zeros((2, geometry.n_blocks, 3))
         # Push inward from whichever side is loaded.
-        amplitude = (
-            self.amplitude
-            if self.loaded_side in ("left", "bottom")
-            else -self.amplitude
-        )
+        sign = 1.0 if self.loaded_side in ("left", "bottom") else -1.0
 
-        def forward(design: Tuple[jnp.ndarray, jnp.ndarray]) -> SolutionData:
+        def forward_scenario(
+            design: Tuple[jnp.ndarray, jnp.ndarray], amplitude, loading_rate
+        ) -> SolutionData:
+            """Forward solve with explicit pulse amplitude/rate (the
+            robustness-sweep entry point; ``solve`` fixes them to the
+            problem's values)."""
+
             horizontal_shifts, vertical_shifts = design
             centroids = block_centroids(horizontal_shifts, vertical_shifts)
             node_vectors = centroid_node_vectors(horizontal_shifts, vertical_shifts)
@@ -210,8 +212,8 @@ class ForwardProblem:
                     ),
                 ),
                 constraint_params=dict(
-                    amplitude=amplitude,
-                    loading_rate=self.loading_rate,
+                    amplitude=sign * amplitude,
+                    loading_rate=loading_rate,
                     input_delay=self.input_delay,
                 ),
             )
@@ -224,7 +226,11 @@ class ForwardProblem:
                 fields=fields,
             )
 
+        def forward(design: Tuple[jnp.ndarray, jnp.ndarray]) -> SolutionData:
+            return forward_scenario(design, self.amplitude, self.loading_rate)
+
         self.solve = forward
+        self.solve_scenario = forward_scenario
         self.geometry = geometry
         self.clamped_blocks_ids = np.unique(clamped_pairs[:, 0])
         self.driven_blocks_ids = np.unique(driven_pairs[:, 0])
@@ -323,6 +329,49 @@ class OptimizationProblem(OptimizationRunnerMixin):
         self.objective_fn = target_kinetic_energy
         self.target_blocks = target_blocks
         self.is_setup = True
+
+    def compute_robustness_map(
+        self, design, amplitudes, loading_rates, mesh=None
+    ) -> jnp.ndarray:
+        """Target-KE robustness grid over (amplitude, loading_rate).
+
+        The paper's frequency x amplitude robustness sweep for an optimized
+        design (reference notebooks/quads_focusing_3dp_pla_shims.ipynb cell
+        33, notebook-only there). Scenarios run vmapped on one chip or
+        sharded over ``mesh`` (grid size must then divide the mesh).
+
+        Returns a (len(amplitudes), len(loading_rates)) array. Use
+        ``method="verlet_ckpt"`` on the forward problem for large grids —
+        scenarios batch exactly like multi-start candidates.
+        """
+
+        if not self.is_setup:
+            self.setup_objective()
+        fp = self.forward_problem
+        target_blocks = self.target_blocks
+        inertia = compute_inertia(
+            fp.geometry.centroid_node_vectors(*design), fp.density
+        )[target_blocks]
+
+        def target_ke(amplitude, loading_rate):
+            solution = fp.solve_scenario(design, amplitude, loading_rate)
+            return kinetic_energy(
+                solution.fields[:, 1, target_blocks, :], inertia
+            )
+
+        A, R = jnp.meshgrid(
+            jnp.asarray(amplitudes), jnp.asarray(loading_rates), indexing="ij"
+        )
+        if mesh is not None:
+            from difflexmm_tpu.parallel import multistart_map
+
+            mapped = multistart_map(lambda ar: target_ke(ar[0], ar[1]), mesh)
+            values = mapped(
+                jnp.stack([A.reshape(-1), R.reshape(-1)], axis=1)
+            )
+        else:
+            values = jax.vmap(target_ke)(A.reshape(-1), R.reshape(-1))
+        return values.reshape(A.shape)
 
     # -- serialization ------------------------------------------------------
 

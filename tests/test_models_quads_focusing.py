@@ -91,3 +91,58 @@ def test_serialization_roundtrip():
     assert opt2.target_size == (2, 2) or tuple(opt2.target_size) == (2, 2)
     opt2.setup_objective()
     assert callable(opt2.objective_fn)
+
+
+def test_robustness_map():
+    """(amplitude x loading_rate) target-KE sweep — the paper's robustness
+    grid (reference quads_focusing_3dp_pla_shims notebook cell 33,
+    notebook-only there). Values match per-scenario solves; the mesh-
+    sharded map matches vmap."""
+
+    from difflexmm_tpu.parallel import make_mesh
+
+    problem = ForwardProblem(
+        n1_blocks=5, n2_blocks=5, spacing=1.0, bond_length=0.1,
+        k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0, damping=0.02,
+        amplitude=0.15, loading_rate=2.0, input_delay=0.0,
+        n_excited_blocks=2, loaded_side="left",
+        simulation_time=2.0, n_timepoints=5, n_substeps=10,
+        method="verlet_ckpt",
+    )
+    opt = OptimizationProblem(problem, target_size=(2, 2))
+    opt.setup_objective()
+    design = problem.geometry.get_design_from_rotated_square(0.25)
+
+    amplitudes = jnp.array([0.1, 0.15])
+    rates = jnp.array([1.0, 2.0, 3.0, 4.0])
+    grid = jax.jit(
+        lambda d: opt.compute_robustness_map(d, amplitudes, rates)
+    )(design)
+    assert grid.shape == (2, 4)
+    assert jnp.all(jnp.isfinite(grid)) and jnp.all(grid > 0)
+
+    # The problem's own (amplitude, loading_rate) cell equals objective_fn.
+    assert jnp.allclose(grid[1, 1], opt.objective_fn(design), rtol=1e-12)
+
+    # Every cell equals an independent single-scenario solve (spot-check
+    # the off-diagonal corners). The map is genuinely non-monotone in
+    # amplitude at this config — contact saturates the larger pulse — so
+    # no monotonicity is asserted.
+    def independent(amp, rate):
+        p2 = ForwardProblem(**{**problem.to_dict(), "is_setup": False,
+                               "amplitude": amp, "loading_rate": rate,
+                               "solution_data": None})
+        o2 = OptimizationProblem(p2, target_size=(2, 2))
+        o2.setup_objective()
+        return o2.objective_fn(design)
+
+    assert jnp.allclose(grid[0, 0], independent(0.1, 1.0), rtol=1e-10)
+    assert jnp.allclose(grid[1, 3], independent(0.15, 4.0), rtol=1e-10)
+
+    # Mesh-sharded sweep (8 scenarios over 8 virtual devices) == vmap.
+    grid_mesh = jax.jit(
+        lambda d: opt.compute_robustness_map(
+            d, amplitudes, rates, mesh=make_mesh()
+        )
+    )(design)
+    assert jnp.allclose(grid_mesh, grid, rtol=1e-10)
