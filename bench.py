@@ -180,6 +180,31 @@ def _sweep_batched(sizes=(128, 256, 512, 1024)):
     return sweep, int(best)
 
 
+def _measure_scenario_sweep(n_amplitudes=8, n_rates=8):
+    """Scenario-sweep throughput on verlet_ckpt: the flagship design's
+    robustness grid (amplitude x loading_rate target-KE map, forward-only)
+    — the scenario-parallel production workload (reference pmap pattern /
+    robustness notebook cell 33)."""
+
+    optimization, design = build_flagship(method="verlet_ckpt")
+    cfg = paper_config("verlet_ckpt", BENCH_N_SUBSTEPS)
+    amplitudes = jnp.linspace(0.5, 1.5, n_amplitudes) * cfg["amplitude"]
+    rates = jnp.linspace(0.5, 1.5, n_rates) * cfg["loading_rate"]
+    sweep = jax.jit(
+        lambda d: optimization.compute_robustness_map(d, amplitudes, rates)
+    )
+    grid = sweep(design)
+    jax.block_until_ready(grid)
+    if not bool(jnp.all(jnp.isfinite(grid))):
+        raise FloatingPointError("robustness grid not finite")
+    n = n_amplitudes * n_rates
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(sweep(design))
+    per_call = (time.perf_counter() - t0) / 3
+    return per_call, n / per_call
+
+
 def _measure_large_lattice():
     """16x the flagship blocks (96x64 = 6,144 blocks, 18,432 DOFs) on the
     chunked HBM-streaming Pallas path — guards the VMEM-scaling claim.
@@ -328,6 +353,12 @@ def main():
         record["multistart_designs_per_second"] = best["designs_per_second"]
     except Exception as error:  # pragma: no cover
         sys.stderr.write(f"bench: batched metric failed ({error})\n")
+    try:
+        per_sweep, scenarios_per_s = _measure_scenario_sweep()
+        record["scenario_sweep_64_seconds"] = round(per_sweep, 4)
+        record["scenario_sweep_scenarios_per_second"] = round(scenarios_per_s, 1)
+    except Exception as error:  # pragma: no cover
+        sys.stderr.write(f"bench: scenario-sweep metric failed ({error})\n")
     try:
         seconds, parity = _measure_large_lattice()
         record["large_lattice_96x64_seconds_per_iteration"] = round(seconds, 4)
