@@ -169,13 +169,21 @@ def _sweep_batched(sizes=(128, 256, 512, 1024)):
     optimization, design = build_flagship(method="verlet_ckpt")
     sweep = {}
     for B in sizes:
-        per_batch, designs_per_s = _measure_batched(
-            B, optimization=optimization, design=design
-        )
+        try:
+            per_batch, designs_per_s = _measure_batched(
+                B, optimization=optimization, design=design
+            )
+        except Exception as error:  # pragma: no cover
+            # Keep the already-measured smaller-B entries (e.g. a B=1024
+            # HBM OOM must not discard the B=128 production number).
+            sys.stderr.write(f"bench: B={B} sweep entry failed ({error})\n")
+            continue
         sweep[str(B)] = {
             "seconds_per_batch": round(per_batch, 4),
             "designs_per_second": round(designs_per_s, 1),
         }
+    if not sweep:
+        raise RuntimeError("multistart sweep measured no batch size")
     best = max(sweep, key=lambda k: sweep[k]["designs_per_second"])
     return sweep, int(best)
 
@@ -347,9 +355,10 @@ def main():
         record["multistart_sweep"] = sweep
         record["multistart_best_batch"] = best_B
         best = sweep[str(best_B)]
-        record["multistart_b128_seconds_per_batch"] = sweep.get(
-            "128", best
-        )["seconds_per_batch"]
+        if "128" in sweep:  # absent on the CPU smoke path (B=8 only)
+            record["multistart_b128_seconds_per_batch"] = sweep["128"][
+                "seconds_per_batch"
+            ]
         record["multistart_designs_per_second"] = best["designs_per_second"]
     except Exception as error:  # pragma: no cover
         sys.stderr.write(f"bench: batched metric failed ({error})\n")

@@ -53,6 +53,11 @@ def compute_xcorr2d(
     along axis 0.
     """
 
+    # The denominator equals sum(signal0**2) mathematically (zero-lag
+    # autocorrelation), but it is computed through the SAME FFT path as the
+    # numerator so that self-correlation gives xcorr == 1.0 EXACTLY — the
+    # reference's oracle test asserts exact equality
+    # (tests/test_objectives.py::test_xcorr).
     corr = _corr_full(signal0, signal1) / _corr_full(signal0, signal0).max()
     index = tuple(
         slice(None) if lag is None else signal1.shape[axis] - 1 + lag

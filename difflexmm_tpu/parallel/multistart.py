@@ -16,6 +16,7 @@ the fastest for a single design or small batches (latency-bound regime).
 
 from typing import Callable, NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -231,6 +232,18 @@ def run_multistart_mma(
         return states.x_prev1, values, violations, rejected, final_v
 
     designs, values, violations, rejected, final_v = sweep(initial_designs)
+    # Parity with run_mma's iteration-0 guard: a candidate whose FIRST
+    # evaluation is non-finite has no finite iterate to retreat to — its
+    # whole run is NaN-poisoned. Fail loudly instead of silently returning
+    # an unoptimized design.
+    first_values = np.asarray(values[0])
+    bad = np.nonzero(~np.isfinite(first_values))[0]
+    if bad.size:
+        raise FloatingPointError(
+            f"run_multistart_mma: objective non-finite at the initial "
+            f"design for candidate(s) {bad.tolist()}. Check solver "
+            f"stability (substeps) for designs within the bounds."
+        )
     ranked = jnp.where(jnp.isfinite(final_v), final_v,
                        -jnp.inf if maximize else jnp.inf)
     best = jnp.argmax(ranked) if maximize else jnp.argmin(ranked)

@@ -254,3 +254,23 @@ def test_model_level_multistart_mma():
     assert len(opt.design_values) == 1
     solution = opt.compute_best_forward()
     assert jnp.all(jnp.isfinite(solution.fields))
+
+
+def test_multistart_mma_raises_on_nonfinite_initial_candidate():
+    """Parity with run_mma's iteration-0 guard: a candidate whose initial
+    evaluation is non-finite fails loudly instead of silently returning
+    an unoptimized design."""
+
+    from difflexmm_tpu.parallel import run_multistart_mma
+
+    def objective_and_grad(x):
+        v = jnp.sum(x**2)
+        bad = jnp.any(x > 0.5)
+        return jnp.where(bad, jnp.nan, v), jnp.where(bad, jnp.nan, 2 * x)
+
+    designs = jnp.stack([jnp.zeros(2), jnp.ones(2)])  # candidate 1 starts bad
+    with pytest.raises(FloatingPointError, match=r"candidate\(s\) \[1\]"):
+        run_multistart_mma(
+            objective_and_grad, designs, -2.0 * jnp.ones(2),
+            2.0 * jnp.ones(2), n_iterations=5,
+        )

@@ -104,6 +104,10 @@ def main():
     from bench import BENCH_N_SUBSTEPS, build_flagship
 
     substeps = [int(a) for a in sys.argv[1:] if a.isdigit()] or [5, 10, 20, 40, 80]
+    if BENCH_N_SUBSTEPS not in substeps:
+        # The decomposition pins the bench substep count; make sure a
+        # custom sweep can't crash after hours of f64 solves.
+        substeps = sorted(substeps + [BENCH_N_SUBSTEPS])
 
     measured = json.loads((REPO / "BASELINE_MEASURED.json").read_text())
 
