@@ -9,3 +9,17 @@ from difflexmm_tpu.solver.modal import (  # noqa: F401
     eigenmode_analysis,
     linear_mode_analysis,
 )
+from difflexmm_tpu.solver.bloch import (  # noqa: F401
+    BlochCell,
+    band_structure,
+    bond_hessians,
+    dynamical_matrix,
+    frequencies,
+    high_symmetry_path,
+    kagome_periodic_cell,
+    quad_periodic_cell,
+    reciprocal_basis,
+    rotated_square_cell,
+    spring_chain_cell,
+    supercell,
+)

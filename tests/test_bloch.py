@@ -1,0 +1,187 @@
+"""Bloch band-structure oracles.
+
+Gold checks: the analytic monatomic-chain dispersion, Hermiticity and
+time-reversal symmetry of the dynamical matrix, exact zero acoustic modes at
+Gamma, band folding under the supercell construction, agreement between two
+independent cell constructions of the same rotated-square lattice
+(primitive oblique 2-block cell vs periodic-quad 4-block cell), equality of
+linearized and nonlinear ligament Hessians at the undeformed state, and
+differentiability of band frequencies w.r.t. the design angle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difflexmm_tpu.ops.bonds import (
+    ligament_energy,
+    ligament_energy_linearized,
+    simple_spring_energy,
+)
+from difflexmm_tpu.solver.bloch import (
+    band_structure,
+    bond_hessians,
+    dynamical_matrix,
+    frequencies,
+    high_symmetry_path,
+    kagome_periodic_cell,
+    quad_periodic_cell,
+    reciprocal_basis,
+    rotated_square_cell,
+    spring_chain_cell,
+    supercell,
+)
+
+
+def test_spring_chain_analytic_dispersion():
+    k_s, a, m = 2.3, 1.7, 0.6
+    cell = spring_chain_cell(k_stretch=k_s, spacing=a, mass=m)
+    kx = jnp.linspace(-jnp.pi / a, jnp.pi / a, 17)
+    ks = jnp.stack([kx, jnp.zeros_like(kx)], axis=1)
+    omega_sq = band_structure(cell, ks, bond_energy_fn=simple_spring_energy)
+    # Two flat zero branches (transverse + rotation are zero-stiffness at
+    # rest for a centroid-attached simple spring), one acoustic branch.
+    analytic = 4.0 * k_s / m * jnp.sin(kx * a / 2) ** 2
+    np.testing.assert_allclose(omega_sq[:, 2], analytic, atol=1e-12)
+    np.testing.assert_allclose(omega_sq[:, :2], 0.0, atol=1e-12)
+
+
+def test_dynamical_matrix_hermitian_and_time_reversal():
+    cell = kagome_periodic_cell(shifts=jnp.array([[0.02, -0.01], [0.0, 0.03], [-0.02, 0.01]]))
+    H = bond_hessians(cell, ligament_energy)
+    k = jnp.array([0.7, -1.3])
+    D = dynamical_matrix(cell, H, k)
+    np.testing.assert_allclose(D, D.conj().T, atol=1e-12)
+    D_neg = dynamical_matrix(cell, H, -k)
+    np.testing.assert_allclose(D_neg, D.conj(), atol=1e-12)
+
+
+def test_gamma_acoustic_zero_modes_and_positivity():
+    cell = kagome_periodic_cell()
+    b = reciprocal_basis(cell.direct_basis)
+    ks = jnp.concatenate(
+        [jnp.zeros((1, 2)), 0.31 * b[:1], jnp.array([[0.4, 0.9]])]
+    )
+    omega_sq = band_structure(cell, ks)
+    # Two exact translational zero modes at Gamma; all bands non-negative.
+    np.testing.assert_allclose(omega_sq[0, :2], 0.0, atol=1e-10)
+    assert float(omega_sq[0, 2]) > 1e-6
+    assert float(jnp.min(omega_sq)) > -1e-10
+
+
+def test_linearized_and_nonlinear_hessians_match_at_rest():
+    cell = rotated_square_cell(0.23, spacing=1.0, bond_length=0.08)
+    H_nl = bond_hessians(cell, ligament_energy)
+    H_lin = bond_hessians(cell, ligament_energy_linearized)
+    np.testing.assert_allclose(H_nl, H_lin, atol=1e-10)
+
+
+def test_supercell_band_folding():
+    """Bands of a (2 x 1) kagome supercell at K equal the union of the
+    primitive bands at the two wave vectors folding onto K."""
+
+    cell = kagome_periodic_cell(
+        shifts=jnp.array([[0.03, 0.01], [-0.02, 0.02], [0.01, -0.03]])
+    )
+    sc = supercell(cell, 2, 1)
+    b = reciprocal_basis(cell.direct_basis)
+
+    K = jnp.array([0.37, 0.18])
+    folded = band_structure(sc, K[None])[0]
+    prim = band_structure(cell, jnp.stack([K, K + b[0] / 2]))
+    together = jnp.sort(prim.reshape(-1))
+    np.testing.assert_allclose(folded, together, atol=1e-9)
+
+
+def test_rotated_square_cross_construction_parity():
+    """The primitive oblique 2-block cell and the periodic-quad 4-block cell
+    describe the same lattice: quad-cell bands at K = union of primitive
+    bands at K and K + (pi/s, 0)."""
+
+    from difflexmm_tpu.geometry.quad import QuadGeometry
+
+    angle, s, l = 0.21, 1.0, 0.1
+    prim = rotated_square_cell(angle, spacing=s, bond_length=l)
+
+    geometry = QuadGeometry(2, 2, spacing=s, bond_length=l)
+    geometry.compute_geometry()
+    h, v = geometry.get_design_from_rotated_square(jnp.asarray(angle))
+    quad = quad_periodic_cell(h[:2, :2], v[:2, :2], spacing=s, bond_length=l)
+
+    K = jnp.array([0.53, -0.29])
+    quad_bands = band_structure(quad, K[None])[0]
+    prim_bands = band_structure(
+        prim, jnp.stack([K, K + jnp.array([jnp.pi / s, 0.0])])
+    )
+    together = jnp.sort(prim_bands.reshape(-1))
+    np.testing.assert_allclose(quad_bands, together, atol=1e-9)
+
+
+def test_band_gradient_matches_finite_difference():
+    def top_gap(angle):
+        cell = rotated_square_cell(angle, spacing=1.0, bond_length=0.1)
+        omega_sq = band_structure(cell, jnp.array([[0.9, 0.4]]))[0]
+        return omega_sq[5] - omega_sq[4]
+
+    angle0 = 0.3
+    g = jax.grad(top_gap)(angle0)
+    eps = 1e-6
+    fd = (top_gap(angle0 + eps) - top_gap(angle0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_prestrain_shifts_bands():
+    """An affine precompression must change (here: soften) the rotated
+    square's bands, and the affine path must stay differentiable."""
+
+    cell = rotated_square_cell(0.25, spacing=1.0, bond_length=0.1)
+    K = jnp.array([[0.8, 0.0]])
+    base = band_structure(cell, K, ligament_energy)[0]
+    squeezed = band_structure(
+        cell,
+        K,
+        ligament_energy,
+        displacement=jnp.zeros((2, 3)),
+        affine=jnp.array([[0.98, 0.0], [0.0, 1.0]]),
+    )[0]
+    assert not np.allclose(base, squeezed, atol=1e-10)
+
+
+def test_high_symmetry_path_and_frequencies():
+    ks, dist, ticks = high_symmetry_path(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], n_per_segment=8
+    )
+    assert ks.shape == (17, 2)
+    assert float(dist[0]) == 0.0 and ticks.shape == (3,)
+    np.testing.assert_allclose(np.diff(np.asarray(dist)) >= 0, True)
+    omega = frequencies(jnp.array([[-1e-18, 4.0]]))
+    np.testing.assert_allclose(omega, [[0.0, 2.0]])
+
+
+def test_modes_satisfy_eigenproblem():
+    cell = kagome_periodic_cell()
+    k = jnp.array([[0.33, 0.71]])
+    omega_sq, modes = band_structure(cell, k, with_modes=True)
+    H = bond_hessians(cell, ligament_energy)
+    D = dynamical_matrix(cell, H, k[0])
+    M = jnp.diag(jnp.asarray(cell.inertia).reshape(-1).astype(D.dtype))
+    lhs = D @ modes[0]
+    rhs = M @ modes[0] * omega_sq[0][None, :]
+    np.testing.assert_allclose(lhs, rhs, atol=1e-9)
+
+
+@pytest.mark.parametrize("p", [(1, 2), (3, 1)])
+def test_quad_periodic_cell_wraps(p):
+    """Degenerate periods (single row/column) assemble and stay Hermitian."""
+
+    p1, p2 = p
+    rng = np.random.default_rng(0)
+    h = 0.02 * rng.standard_normal((p1, p2, 2))
+    v = 0.02 * rng.standard_normal((p1, p2, 2))
+    cell = quad_periodic_cell(h, v)
+    H = bond_hessians(cell, ligament_energy)
+    D = dynamical_matrix(cell, H, jnp.array([0.3, 0.5]))
+    np.testing.assert_allclose(D, D.conj().T, atol=1e-12)
+    omega_sq = band_structure(cell, jnp.zeros((1, 2)))[0]
+    np.testing.assert_allclose(omega_sq[:2], 0.0, atol=1e-9)
