@@ -2,10 +2,10 @@
 one shared design, one target patch.
 
 Behavioral parity: reference problems/quads_focusing_multi_input.py
-(objective at 43-86). TPU note: the per-problem solves are independent;
-``setup_objective(sharded=True)`` evaluates them scenario-parallel over the
-device mesh (difflexmm_tpu.parallel) instead of the reference's in-objective
-Python loop.
+(objective at 43-86). TPU note: the per-problem solves are independent and
+XLA overlaps them within one jitted objective; for device-mesh scenario
+parallelism over many inputs use difflexmm_tpu.parallel.scenarios instead
+of the reference's in-objective Python loop.
 """
 
 import dataclasses

@@ -9,6 +9,10 @@ from difflexmm_tpu.solver.modal import (  # noqa: F401
     eigenmode_analysis,
     linear_mode_analysis,
 )
+from difflexmm_tpu.solver.frequency import (  # noqa: F401
+    harmonic_response,
+    transmission,
+)
 from difflexmm_tpu.solver.bloch import (  # noqa: F401
     BlochCell,
     band_structure,
