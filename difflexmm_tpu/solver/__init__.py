@@ -9,6 +9,7 @@ from difflexmm_tpu.solver.modal import (  # noqa: F401
     eigenmode_analysis,
     linear_mode_analysis,
 )
+from difflexmm_tpu.solver.statics import setup_static_solver  # noqa: F401
 from difflexmm_tpu.solver.frequency import (  # noqa: F401
     harmonic_response,
     transmission,
