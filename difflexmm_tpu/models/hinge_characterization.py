@@ -38,6 +38,7 @@ from difflexmm_tpu.utils.types import (
     SolutionType,
 )
 from difflexmm_tpu.solver.dynamics import setup_dynamic_solver
+from difflexmm_tpu.solver.statics import setup_static_solver
 
 
 def resample(x: jnp.ndarray, y: jnp.ndarray, n_timepoints: int) -> jnp.ndarray:
@@ -126,19 +127,43 @@ def _characterization_setup(self, geometry, block_centroids, centroid_node_vecto
         if self.method in ("verlet_pallas", "verlet_ckpt")
         else None
     )
-    solve_dynamics = setup_dynamic_solver(
-        geometry=geometry,
-        energy_fn=potential_energy,
-        constrained_block_DOF_pairs=constrained_pairs,
-        constrained_DOFs_fn=constrained_DOFs_fn,
-        damped_blocks=np.arange(nb),
-        method=self.method,
-        n_substeps=self.n_substeps,
-        atol=self.atol,
-        rtol=self.rtol,
-        quad_grid=quad_grid,
-        pallas_interpret=self.pallas_interpret,
-    )
+    if self.method == "static":
+        # True quasi-statics: one warm-started Newton equilibrium per output
+        # time instead of integrating damped dynamics through the ramp (the
+        # reference's only mechanism, problems/hinge_characterization.py:
+        # 39-132). Inertia/damping drop out; the force-displacement curve is
+        # the exact rate-independent limit, and gradients use the implicit
+        # adjoint (solver/statics.py) rather than a reverse time integration.
+        solve_equilibrium = setup_static_solver(
+            geometry=geometry,
+            energy_fn=potential_energy,
+            constrained_block_DOF_pairs=constrained_pairs,
+            constrained_DOFs_fn=constrained_DOFs_fn,
+        )
+
+        def solve_dynamics(state0, timepoints, control_params):
+            def step(u_prev, t):
+                u = solve_equilibrium(u_prev, t, control_params)
+                return u, u
+
+            _, trajectory = jax.lax.scan(step, state0[0], timepoints)
+            return jnp.stack(
+                [trajectory, jnp.zeros_like(trajectory)], axis=1
+            )
+    else:
+        solve_dynamics = setup_dynamic_solver(
+            geometry=geometry,
+            energy_fn=potential_energy,
+            constrained_block_DOF_pairs=constrained_pairs,
+            constrained_DOFs_fn=constrained_DOFs_fn,
+            damped_blocks=np.arange(nb),
+            method=self.method,
+            n_substeps=self.n_substeps,
+            atol=self.atol,
+            rtol=self.rtol,
+            quad_grid=quad_grid,
+            pallas_interpret=self.pallas_interpret,
+        )
 
     timepoints = jnp.linspace(0.0, 1.0 / self.loading_rate, self.n_timepoints)
     state0 = jnp.zeros((2, nb, 3))
@@ -255,6 +280,8 @@ class ForwardProblem(_CharacterizationForwardMixin):
 
     solution_data: Optional[Union[SolutionType, List[SolutionType]]] = None
 
+    # "static": warm-started Newton equilibria (rate-independent limit,
+    # implicit-adjoint gradients) instead of damped dynamics.
     method: str = "verlet"
     n_substeps: int = 32
     grid_energy: bool = True
@@ -319,6 +346,8 @@ class ForwardProblemQuads(_CharacterizationForwardMixin):
 
     solution_data: Optional[Union[SolutionType, List[SolutionType]]] = None
 
+    # "static": warm-started Newton equilibria (rate-independent limit,
+    # implicit-adjoint gradients) instead of damped dynamics.
     method: str = "verlet"
     n_substeps: int = 32
     grid_energy: bool = True

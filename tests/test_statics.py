@@ -212,6 +212,56 @@ def test_reactions_balance_applied_force():
     np.testing.assert_allclose(reactions[dofs == 1].sum(), 0.0, atol=1e-10)
 
 
+def test_hinge_characterization_static_path():
+    """method="static" on the characterization model reproduces the slow-
+    rate damped-dynamics force-displacement curve (rate-independent limit)
+    and keeps the stiffness gradient path differentiable."""
+
+    from difflexmm_tpu.models.hinge_characterization import ForwardProblem
+
+    def make(method, loading_rate=0.01):
+        return ForwardProblem(
+            n1_cells=2, n2_cells=2, spacing=1.0, bond_length=0.1,
+            initial_angle=0.2,
+            k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0, damping=1.0,
+            loading_type="tension", amplitude=0.05, loading_rate=loading_rate,
+            n_timepoints=8,
+            # Keep dt fixed as the ramp lengthens (stability bound).
+            n_substeps=int(64 * 0.01 / loading_rate),
+            method=method,
+        )
+
+    static = make("static")
+    static.setup()
+    k = (1.0, 0.02, 1e-3)
+
+    sol_s, cp_s = static.solve(k)
+    curve_s = np.asarray(static.force_displacement(sol_s, cp_s))
+
+    # The static curve is the rate->0 limit of the damped dynamics: the
+    # force-curve error must shrink ~linearly with the loading rate
+    # (viscous lag is first order in rate).
+    errs = []
+    for rate in (0.01, 0.0025):
+        dynamic = make("verlet", loading_rate=rate)
+        dynamic.setup()
+        sol_d, cp_d = dynamic.solve(k)
+        curve_d = np.asarray(dynamic.force_displacement(sol_d, cp_d))
+        np.testing.assert_allclose(curve_s[0], curve_d[0], rtol=1e-12)
+        errs.append(np.abs(curve_d[1] - curve_s[1]).max())
+    scale = np.abs(curve_s[1, -1])
+    assert errs[1] < 0.4 * errs[0]  # 4x slower ramp -> ~4x closer
+    assert errs[1] < 0.1 * scale
+
+    # Stiffness gradient flows through the scanned Newton equilibria.
+    def loss(k_stretch):
+        sol, cp = static.solve((k_stretch, 0.02, 1e-3))
+        return jnp.sum(static.force_displacement(sol, cp)[1] ** 2)
+
+    grad = jax.grad(loss)(1.0)
+    assert np.isfinite(float(grad)) and abs(float(grad)) > 0
+
+
 def test_contact_precompression_finite():
     """Compression with the contact barrier active: Newton with NaN-safe
     backtracking converges to a finite equilibrium."""
