@@ -10,6 +10,11 @@ from difflexmm_tpu.solver.modal import (  # noqa: F401
     linear_mode_analysis,
 )
 from difflexmm_tpu.solver.statics import setup_static_solver  # noqa: F401
+from difflexmm_tpu.solver.continuation import (  # noqa: F401
+    ContinuationPath,
+    fold_points,
+    setup_arclength_solver,
+)
 from difflexmm_tpu.solver.frequency import (  # noqa: F401
     harmonic_response,
     transmission,

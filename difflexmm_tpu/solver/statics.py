@@ -50,7 +50,7 @@ def setup_static_solver(
     constrained_block_DOF_pairs=_EMPTY_PAIRS,
     constrained_DOFs_fn: Callable = lambda t, **kwargs: 0.0,
     n_newton_steps: int = 40,
-    tol: float = 1e-10,
+    tol: Optional[float] = None,
     n_backtrack: int = 30,
 ):
     """Set up the static solver.
@@ -118,13 +118,18 @@ def setup_static_solver(
 
     def _newton(free0, t, control_params):
         u0 = (jnp.asarray(free0).reshape(n_blocks, 3) * free_mask).reshape(-1)
+        # Default tolerance tracks the working precision: 1e-10 is
+        # unreachable in float32, where Newton bottoms out near ~1e-6.
+        eff_tol = tol if tol is not None else (
+            1e-10 if u0.dtype == jnp.float64 else 1e-6
+        )
 
         def norm(r):
             return jnp.max(jnp.abs(r))
 
         def cond(carry):
             u, rnorm, it, stalled = carry
-            return (rnorm > tol) & (it < n_newton_steps) & (~stalled)
+            return (rnorm > eff_tol) & (it < n_newton_steps) & (~stalled)
 
         def body(carry):
             u, rnorm, it, _ = carry
