@@ -1,3 +1,10 @@
+from difflexmm_tpu.parallel.domain import (  # noqa: F401
+    DOMAIN_AXIS,
+    domain_mesh,
+    domain_shard_solver,
+    domain_state_sharding,
+    domain_trajectory_sharding,
+)
 from difflexmm_tpu.parallel.mesh import (  # noqa: F401
     CANDIDATE_AXIS,
     SCENARIO_AXIS,
