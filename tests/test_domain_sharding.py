@@ -127,6 +127,62 @@ def test_domain_sharding_inserts_halo_exchange_not_allgather():
     assert "collective-permute" in text
 
 
+def test_domain_sharded_kagome_matches_single_device():
+    """Kagome blocks are cell-major with rows slowest (2 triangles per
+    cell), so the same row sharding applies: chunk = (n2/n_dev) rows of
+    2*n1 blocks."""
+
+    from difflexmm_tpu.geometry import KagomeGeometry
+    from difflexmm_tpu.ops.kagome_grid import build_kagome_grid_energy
+    from difflexmm_tpu.solver import setup_dynamic_solver
+
+    n1, n2 = 3, 8
+    geo = KagomeGeometry(n1_cells=n1, n2_cells=n2, bond_length=0.05)
+    geo.compute_geometry()
+    bc, cnv, bond_fn, rbv = geo.get_parametrization()
+    design = geo.zero_design()
+
+    rows = np.array([n2 // 2 - 1, n2 // 2])
+    driven_blocks = rows * 2 * n1
+    driven_pairs = base.all_dofs_pairs(driven_blocks)
+    k = len(driven_blocks)
+    drive_vector = jnp.asarray(np.concatenate([np.ones(k), np.zeros(2 * k)]))
+
+    def drive(t, amplitude, rate):
+        return base.pulse(t, amplitude, rate) * drive_vector
+
+    solve = setup_dynamic_solver(
+        geometry=geo,
+        energy_fn=build_kagome_grid_energy(n1, n2, ligament_energy),
+        constrained_block_DOF_pairs=driven_pairs,
+        constrained_DOFs_fn=drive,
+        damped_blocks=np.arange(geo.n_blocks),
+        method="verlet",
+        n_substeps=8,
+    )
+    cp = ControlParams(
+        geometrical_params=GeometricalParams(bc(*design), cnv(*design)),
+        mechanical_params=MechanicalParams(
+            bond_params=LigamentParams(1.0, 0.02, 1e-3, rbv()),
+            density=1.0,
+            damping=0.05,
+            contact_params=ContactParams(0.0, jnp.deg2rad(30.0), 1.0),
+        ),
+        constraint_params=dict(amplitude=0.02, rate=4.0),
+    )
+    state0 = jnp.zeros((2, geo.n_blocks, 3))
+    timepoints = jnp.linspace(0.0, 1.0, 5)
+
+    mesh = domain_mesh(8)
+    sharded = domain_shard_solver(solve, mesh, n1, n2)
+    ref = jax.jit(solve)(state0, timepoints, cp)
+    out = sharded(state0, timepoints, cp)
+
+    assert out.sharding.shard_shape(out.shape)[2] == geo.n_blocks // 8
+    assert float(jnp.max(jnp.abs(ref))) > 1e-4
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
 def test_domain_sharding_rejects_misaligned_rows():
     solve, control_params, state0, timepoints = _setup()
     mesh = domain_mesh(8)
