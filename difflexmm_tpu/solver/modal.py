@@ -27,8 +27,16 @@ def linear_mode_analysis(
     energy_fn,
     control_params: ControlParams,
     constrained_block_DOF_pairs=_EMPTY_PAIRS,
+    constrained_DOFs_fn=None,
+    t=0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigenfrequencies (squared) and mode shapes about ``displacement``.
+
+    ``constrained_DOFs_fn`` / ``t`` set the driven-DOF values the tangent
+    stiffness is evaluated at — pass the same drive and load-path parameter
+    used to reach a statically deformed state (e.g. from
+    :func:`difflexmm_tpu.solver.statics.setup_static_solver`) to get tangent
+    modes about that equilibrium; the default is the undriven configuration.
 
     Returns:
         (eigenvalues (n_free,), modes (n_free, n_blocks, 3)); modes are
@@ -36,14 +44,21 @@ def linear_mode_analysis(
     """
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
+    kin_kwargs = (
+        dict(constrained_DOFs_fn=constrained_DOFs_fn)
+        if constrained_DOFs_fn is not None
+        else {}
+    )
     kinematics = build_constrained_kinematics(
-        n_blocks, constrained_block_DOF_pairs=constrained_block_DOF_pairs
+        n_blocks,
+        constrained_block_DOF_pairs=constrained_block_DOF_pairs,
+        **kin_kwargs,
     )
     dof_set = kinematics.dof_set
     constrained_energy = constrain_energy(energy_fn, kinematics)
 
     u0 = jnp.asarray(displacement).reshape(n_blocks, 3) * dof_set.free_mask
-    K_full = jax.hessian(constrained_energy)(u0, 0.0, control_params).reshape(
+    K_full = jax.hessian(constrained_energy)(u0, t, control_params).reshape(
         3 * n_blocks, 3 * n_blocks
     )
     inertia = _resolve_inertia(control_params).reshape(-1)
@@ -70,6 +85,8 @@ def eigenmode_analysis(
     energy_fn,
     control_params: ControlParams,
     constrained_block_DOF_pairs=_EMPTY_PAIRS,
+    constrained_DOFs_fn=None,
+    t=0.0,
 ) -> EigenmodeData:
     """Modal analysis packaged as :class:`EigenmodeData` (ready for
     ``plotting.plot_mode``), mirroring the reference's artifact shape
@@ -78,6 +95,8 @@ def eigenmode_analysis(
     eigenvalues, modes = linear_mode_analysis(
         displacement, geometry, energy_fn, control_params,
         constrained_block_DOF_pairs=constrained_block_DOF_pairs,
+        constrained_DOFs_fn=constrained_DOFs_fn,
+        t=t,
     )
     return EigenmodeData(
         block_centroids=control_params.geometrical_params.block_centroids,

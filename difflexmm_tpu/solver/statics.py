@@ -52,6 +52,7 @@ def setup_static_solver(
     n_newton_steps: int = 40,
     tol: Optional[float] = None,
     n_backtrack: int = 30,
+    nan_on_failure: bool = True,
 ):
     """Set up the static solver.
 
@@ -73,6 +74,13 @@ def setup_static_solver(
           (n_constrained,) reaction forces conjugate to the driven DOFs
           (internal minus external force on each constrained [block, DOF]),
           the quantity force–displacement experiments measure.
+
+        With ``nan_on_failure`` (default), a solve whose residual does not
+        reach 10x the tolerance returns NaN displacements instead of a
+        silent non-equilibrium — e.g. when a large driven displacement
+        collapses a bond to zero length at the initial guess. Ramp ``t``
+        in warm-started increments for such load paths (see
+        models/hinge_characterization.py ``method="static"``).
     """
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
@@ -195,6 +203,21 @@ def setup_static_solver(
 
     def solve_static(u_guess, t, control_params: ControlParams) -> jnp.ndarray:
         free_star = _solve_free(jnp.asarray(u_guess), t, control_params)
+        if nan_on_failure:
+            # A stalled Newton (e.g. a NaN residual at the initial guess —
+            # driven DOFs collapsing a bond to zero length — or a descent
+            # failure) would otherwise silently return a non-equilibrium:
+            # poison the output instead so the failure is loud downstream.
+            # One extra residual evaluation; grads flow through the
+            # converged branch only.
+            rnorm = jnp.max(jnp.abs(
+                residual(free_star.reshape(n_blocks, 3), t, control_params)
+            ))
+            eff_tol = tol if tol is not None else (
+                1e-10 if free_star.dtype == jnp.float64 else 1e-6
+            )
+            ok = (rnorm < 10 * eff_tol) & jnp.all(jnp.isfinite(free_star))
+            free_star = jnp.where(ok, free_star, jnp.nan)
         return kinematics(free_star, t, control_params.constraint_params)
 
     raw_force = jax.grad(lambda u, cp: energy_fn(u, cp), argnums=0)

@@ -113,3 +113,78 @@ def test_eigenmode_data_artifact():
 
     ax = plot_mode(data, mode_index=1)
     assert ax is not None
+
+
+def test_tangent_modes_about_precompressed_equilibrium():
+    """Statics -> modal composition: tangent modes about a statically
+    compressed rotated-square lattice. The drive and load-path parameter
+    flow into the tangent stiffness (``constrained_DOFs_fn``/``t``), the
+    frequencies shift under precompression, and the whole pipeline
+    (implicit-adjoint Newton -> hessian -> eigh) is reverse-differentiable
+    w.r.t. the compression amplitude, matching finite differences."""
+
+    from difflexmm_tpu.ops.bonds import ligament_energy
+    from difflexmm_tpu.solver import setup_static_solver
+
+    geo = RotatedSquareGeometry(3, 2, spacing=1.0, bond_length=0.1)
+    bc, cnv, bonds, rbv = geo.get_parametrization()
+    cp0 = ControlParams(
+        geometrical_params=GeometricalParams(bc(0.25), cnv(0.25)),
+        mechanical_params=MechanicalParams(
+            bond_params=LigamentParams(1.0, 0.3, 0.05, rbv()),
+            density=1.0,
+            damping=0.0,
+        ),
+        constraint_params=dict(),
+    )
+    energy = build_strain_energy(bonds(), ligament_energy)
+
+    left = np.arange(0, geo.n_blocks, geo.n1_blocks)
+    right = np.arange(geo.n1_blocks - 1, geo.n_blocks, geo.n1_blocks)
+    pairs = np.concatenate(
+        [
+            np.array([[b, d] for b in left for d in range(3)]),
+            np.stack([right, np.zeros_like(right)], 1),
+        ]
+    )
+
+    def drive(t, amplitude):
+        values = jnp.zeros(len(pairs))
+        return values.at[-len(right):].set(-amplitude * t)
+
+    solve = setup_static_solver(
+        geo, energy,
+        constrained_block_DOF_pairs=pairs,
+        constrained_DOFs_fn=drive,
+    )
+
+    def equilibrium(amplitude):
+        cp = cp0._replace(constraint_params=dict(amplitude=amplitude))
+        return solve(jnp.zeros((geo.n_blocks, 3)), 1.0, cp), cp
+
+    def min_eig(amplitude):
+        u_eq, cp = equilibrium(amplitude)
+        vals, _ = linear_mode_analysis(
+            u_eq, geo, energy, cp,
+            constrained_block_DOF_pairs=pairs,
+            constrained_DOFs_fn=drive,
+            t=1.0,
+        )
+        return vals[0]
+
+    # Guard against a silently stalled Newton (the amplitude must keep the
+    # initial guess clear of the bond-collapse singularity).
+    u_eq, cp = equilibrium(0.04)
+    assert float(jnp.max(jnp.abs(solve.residual(u_eq, 1.0, cp)))) < 1e-9
+
+    eig_rest = float(min_eig(0.0))
+    eig_comp = float(min_eig(0.04))
+    # Precompression retunes the lattice's fundamental frequency.
+    assert np.isfinite(eig_rest) and np.isfinite(eig_comp)
+    assert abs(eig_comp - eig_rest) > 1e-4 * abs(eig_rest)
+
+    a0 = 0.03
+    grad = float(jax.grad(min_eig)(a0))
+    h = 1e-5
+    fd = (float(min_eig(a0 + h)) - float(min_eig(a0 - h))) / (2 * h)
+    np.testing.assert_allclose(grad, fd, rtol=1e-5)

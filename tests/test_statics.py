@@ -310,3 +310,39 @@ def test_contact_precompression_finite():
     assert float(jnp.max(jnp.abs(r))) < 1e-8
     # Compression actually rotated the interior blocks (the RS mechanism).
     assert float(jnp.abs(u[:, 2]).max()) > 1e-3
+
+
+def test_stalled_newton_returns_nan_not_initial_guess():
+    """A driven displacement that collapses a bond to zero length at the
+    initial guess makes the first residual NaN; the solver must poison the
+    output (nan_on_failure) rather than silently return the guess."""
+
+    geo, energy, cp = _lattice()
+    right = np.arange(geo.n1_blocks - 1, geo.n_blocks, geo.n1_blocks)
+    pairs = np.concatenate(
+        [_clamp_left(geo), np.stack([right, np.zeros_like(right)], 1)]
+    )
+
+    def drive(t, amplitude):
+        return jnp.zeros(len(pairs)).at[-len(right):].set(-amplitude * t)
+
+    solve = setup_static_solver(
+        geo, energy, constrained_block_DOF_pairs=pairs,
+        constrained_DOFs_fn=drive,
+    )
+    # bond_length = 0.1: amplitude 0.1 zeroes the right-column bonds at the
+    # zero initial guess -> NaN residual -> stalled Newton.
+    cp = cp._replace(constraint_params=dict(amplitude=0.1))
+    u = solve(jnp.zeros((geo.n_blocks, 3)), 1.0, cp)
+    assert bool(jnp.all(jnp.isnan(u[np.setdiff1d(np.arange(geo.n_blocks),
+                                                 np.arange(0, geo.n_blocks,
+                                                           geo.n1_blocks))])))
+
+    # Opt-out keeps the old behavior (returns the guess, caller checks
+    # solve.residual themselves).
+    solve_raw = setup_static_solver(
+        geo, energy, constrained_block_DOF_pairs=pairs,
+        constrained_DOFs_fn=drive, nan_on_failure=False,
+    )
+    u_raw = solve_raw(jnp.zeros((geo.n_blocks, 3)), 1.0, cp)
+    assert bool(jnp.all(jnp.isfinite(u_raw)))
