@@ -23,7 +23,9 @@ from difflexmm_tpu.solver.bloch import (  # noqa: F401
     BlochCell,
     band_structure,
     bond_hessians,
+    cell_strain_energy,
     dynamical_matrix,
+    relax_cell,
     frequencies,
     high_symmetry_path,
     kagome_periodic_cell,

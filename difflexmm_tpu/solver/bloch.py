@@ -152,6 +152,173 @@ def bond_hessians(
     return jax.vmap(one)(q1_0, q2_0, r1, r2, per_bond)
 
 
+def cell_strain_energy(
+    cell: BlochCell,
+    displacement: jnp.ndarray,
+    affine: Optional[jnp.ndarray] = None,
+    bond_energy_fn: Callable = ligament_energy,
+):
+    """Total bond energy of one cell for cell-periodic block DOFs
+    ``displacement (B, 3)`` under a superimposed homogeneous deformation
+    gradient ``affine`` (bonds crossing the cell boundary see the affine
+    shift of their far end, exactly as in :func:`bond_hessians`)."""
+
+    u = jnp.asarray(displacement)
+    n_bonds = int(cell.bond_blocks.shape[0])
+    F = jnp.eye(2, dtype=u.dtype) if affine is None else jnp.asarray(affine)
+    R_m = jnp.asarray(cell.bond_offsets, dtype=u.dtype) @ jnp.asarray(
+        cell.direct_basis
+    )
+    affine_shift = R_m @ (F - jnp.eye(2, dtype=u.dtype)).T
+
+    per_bond, shared = _per_bond_params(cell.bond_params, n_bonds)
+    cnv = cell.centroid_node_vectors
+    r1 = cnv[cell.bond_blocks[:, 0], cell.bond_nodes[:, 0]]
+    r2 = cnv[cell.bond_blocks[:, 1], cell.bond_nodes[:, 1]]
+    q1 = u[cell.bond_blocks[:, 0]]
+    q2 = u[cell.bond_blocks[:, 1]].at[:, :2].add(affine_shift)
+
+    def one(q1_b, q2_b, r1_b, r2_b, pb):
+        return bond_energy_fn(
+            (_node_dof(q1_b, r1_b), _node_dof(q2_b, r2_b)), **pb, **shared
+        )
+
+    return jnp.sum(jax.vmap(one)(q1, q2, r1, r2, per_bond))
+
+
+def relax_cell(
+    cell: BlochCell,
+    affine: Optional[jnp.ndarray] = None,
+    bond_energy_fn: Callable = ligament_energy,
+    u0: Optional[jnp.ndarray] = None,
+    n_newton_steps: int = 40,
+    tol: Optional[float] = None,
+    n_load_steps: int = 4,
+) -> jnp.ndarray:
+    """Cell-periodic static equilibrium under a prescribed affine prestrain.
+
+    Solves for the (B, 3) micro-displacement that relaxes
+    :func:`cell_strain_energy` at fixed ``affine`` — e.g. the alternating
+    block rotations an auxetic rotated-square lattice develops under
+    compression. Feed the result to :func:`bond_hessians` /
+    :func:`band_structure` (same ``displacement``/``affine``) for
+    strain-tuned dispersion about the true relaxed state rather than the
+    naive affinely-mapped one.
+
+    The two global translation DOFs of block 0 are pinned (the periodic
+    energy's only null space). Differentiable w.r.t. ``affine`` and the
+    cell's parameters through an implicit-function-theorem adjoint (one
+    transposed solve, like solver/statics.py). ``n_load_steps`` ramps the
+    affine deformation in warm-started increments (cold Newton stalls past
+    a few percent strain); only the final solve carries gradients (the
+    equilibrium does not depend on its warm start). A stalled Newton
+    returns NaN (fail-loud; raise ``n_load_steps`` or pass a closer
+    ``u0``).
+    """
+
+    B = int(cell.centroid_node_vectors.shape[0])
+    n = 3 * B
+    mask = jnp.ones(n).at[0].set(0.0).at[1].set(0.0)
+
+    def residual(u_flat, cell_, F):
+        grad_u = jax.grad(
+            lambda uu: cell_strain_energy(
+                cell_, uu.reshape(B, 3), F, bond_energy_fn
+            )
+        )(u_flat)
+        return grad_u * mask
+
+    def jac(u_flat, cell_, F):
+        J = jax.jacfwd(residual)(u_flat, cell_, F)
+        return J - jnp.diag(1.0 - mask)
+
+    start = (
+        jnp.zeros(n)
+        if u0 is None
+        else (jnp.asarray(u0).reshape(-1) * mask)
+    )
+    eff_tol = tol if tol is not None else (
+        1e-10 if start.dtype == jnp.float64 else 1e-6
+    )
+
+    def _newton(cell_, F, u_init):
+        def cond(carry):
+            u, rnorm, it, stalled = carry
+            return (rnorm > eff_tol) & (it < n_newton_steps) & (~stalled)
+
+        def body(carry):
+            u, rnorm, it, _ = carry
+            step = jnp.linalg.solve(jac(u, cell_, F), -residual(u, cell_, F))
+
+            def bt_cond(c):
+                return (~c[1]) & (c[2] < 30)
+
+            def bt_body(c):
+                alpha, _, k = c
+                ok = (
+                    jnp.max(jnp.abs(residual(u + alpha * step, cell_, F)))
+                    < rnorm
+                )
+                return jnp.where(ok, alpha, alpha * 0.5), ok, k + 1
+
+            alpha, accepted, _ = jax.lax.while_loop(
+                bt_cond, bt_body,
+                (jnp.asarray(1.0, u.dtype), jnp.asarray(False),
+                 jnp.asarray(0)),
+            )
+            u_new = jnp.where(accepted, u + alpha * step, u)
+            return (
+                u_new,
+                jnp.max(jnp.abs(residual(u_new, cell_, F))),
+                it + 1,
+                ~accepted,
+            )
+
+        r0 = jnp.max(jnp.abs(residual(u_init, cell_, F)))
+        u_star, rnorm, _, _ = jax.lax.while_loop(
+            cond, body, (u_init, r0, jnp.asarray(0), jnp.asarray(False))
+        )
+        ok = (rnorm < 10 * eff_tol) & jnp.all(jnp.isfinite(u_star))
+        return jnp.where(ok, u_star, jnp.nan)
+
+    @jax.custom_vjp
+    def _solve(cell_, F, u_init):
+        return _newton(cell_, F, u_init)
+
+    def _solve_fwd(cell_, F, u_init):
+        u_star = _newton(cell_, F, u_init)
+        return u_star, (u_star, cell_, F)
+
+    def _solve_bwd(res, cotangent):
+        u_star, cell_, F = res
+        lam = jnp.linalg.solve(
+            jac(u_star, cell_, F).T, cotangent.reshape(-1) * mask
+        )
+        _, vjp_fn = jax.vjp(
+            lambda c, f: residual(u_star, c, f), cell_, F
+        )
+        cell_bar, F_bar = vjp_fn(-lam)
+        # The equilibrium does not depend on its warm start.
+        return cell_bar, F_bar, jnp.zeros_like(u_star)
+
+    _solve.defvjp(_solve_fwd, _solve_bwd)
+
+    F = (
+        jnp.eye(2, dtype=start.dtype)
+        if affine is None
+        else jnp.asarray(affine)
+    )
+    eye = jnp.eye(2, dtype=start.dtype)
+    u = start
+    # Warm-started ramp to the target deformation; only the final solve
+    # carries gradients (earlier increments use lax.stop_gradient on F so
+    # no spurious adjoint paths accumulate).
+    for s in np.linspace(0.0, 1.0, max(1, int(n_load_steps)) + 1)[1:-1]:
+        F_s = eye + s * (jax.lax.stop_gradient(F) - eye)
+        u = jax.lax.stop_gradient(_solve(cell, F_s, u))
+    return _solve(cell, F, u).reshape(B, 3)
+
+
 def dynamical_matrix(
     cell: BlochCell, hessians: jnp.ndarray, k: jnp.ndarray
 ) -> jnp.ndarray:

@@ -185,3 +185,67 @@ def test_quad_periodic_cell_wraps(p):
     np.testing.assert_allclose(D, D.conj().T, atol=1e-12)
     omega_sq = band_structure(cell, jnp.zeros((1, 2)))[0]
     np.testing.assert_allclose(omega_sq[:2], 0.0, atol=1e-9)
+
+
+def test_relax_cell_rest_state_is_zero():
+    from difflexmm_tpu.solver.bloch import relax_cell
+
+    cell = rotated_square_cell(0.25, spacing=1.0, bond_length=0.1)
+    u = relax_cell(cell)
+    np.testing.assert_allclose(np.asarray(u), 0.0, atol=1e-12)
+
+
+def test_relax_cell_compression_activates_rotation_mechanism():
+    from difflexmm_tpu.solver.bloch import cell_strain_energy, relax_cell
+
+    cell = rotated_square_cell(0.25, spacing=1.0, bond_length=0.1,
+                               k_shear=0.3, k_rot=0.05)
+    F = jnp.array([[0.97, 0.0], [0.0, 0.97]])
+    u = relax_cell(cell, affine=F)
+    assert bool(jnp.all(jnp.isfinite(u)))
+
+    # Relaxation drops the energy below the naive affine map...
+    e_affine = float(cell_strain_energy(cell, jnp.zeros((2, 3)), F))
+    e_relaxed = float(cell_strain_energy(cell, u, F))
+    assert e_relaxed < e_affine * 0.99
+
+    # ...via the auxetic mechanism: the two blocks counter-rotate.
+    th = np.asarray(u[:, 2])
+    assert abs(th[0]) > 1e-3 and abs(th[1]) > 1e-3
+    assert th[0] * th[1] < 0
+
+    # Equilibrium certificate: free-DOF residual at the solution.
+    g = jax.grad(
+        lambda uu: cell_strain_energy(cell, uu, F)
+    )(u).reshape(-1)
+    g = g.at[0].set(0.0).at[1].set(0.0)  # pinned translations
+    assert float(jnp.max(jnp.abs(g))) < 1e-9
+
+
+def test_relaxed_band_structure_differs_and_grad_matches_fd():
+    """Strain-tuned dispersion about the RELAXED state: the relaxation
+    changes the bands relative to the naive affine state, and the whole
+    pipeline (Newton cell relaxation -> bond Hessians -> Bloch eigh) is
+    reverse-differentiable w.r.t. the applied strain."""
+
+    from difflexmm_tpu.solver.bloch import relax_cell
+
+    cell = rotated_square_cell(0.25, spacing=1.0, bond_length=0.1,
+                               k_shear=0.3, k_rot=0.05)
+    K = jnp.array([[0.8, 0.3]])
+
+    def band(e, relaxed=True):
+        F = (1.0 - e) * jnp.eye(2)
+        u = relax_cell(cell, affine=F) if relaxed else jnp.zeros((2, 3))
+        return band_structure(
+            cell, K, ligament_energy, displacement=u, affine=F
+        )[0][3]
+
+    e0 = 0.03
+    assert not np.allclose(float(band(e0)), float(band(e0, relaxed=False)),
+                           rtol=1e-6)
+
+    g = float(jax.grad(band)(e0))
+    h = 1e-6
+    fd = (float(band(e0 + h)) - float(band(e0 - h))) / (2 * h)
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
