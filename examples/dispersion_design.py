@@ -141,6 +141,31 @@ def main():
     print(f"optimized shifts:\n{np.asarray(shifts)}")
     print(f"final smooth gap (omega^2 units): {final_gap:+.5f}")
 
+    # 4. Strain tuning: dispersion about the RELAXED precompressed state.
+    # relax_cell solves the cell-periodic equilibrium under the applied
+    # deformation gradient (the auxetic counter-rotation), so the bands are
+    # those of the actually-deformed lattice, not a naive affine map.
+    from difflexmm_tpu.solver.bloch import relax_cell
+
+    rs_cell = rotated_square_cell(0.25, spacing=s, bond_length=0.1,
+                                  k_stretch=1.0, k_shear=0.3, k_rot=0.05)
+    for strain in (0.0, 0.05, 0.10):
+        F = (1.0 - strain) * jnp.eye(2)
+        u = relax_cell(rs_cell, affine=F)
+        assert bool(jnp.all(jnp.isfinite(u))), "cell relaxation stalled"
+        omega = frequencies(
+            band_structure(rs_cell, rs_path[0], displacement=u, affine=F)
+        )
+        plot_bands(
+            rs_path[1], omega, rs_path[2], ["G", "X", "M", "G"],
+            f"Rotated squares under {strain:.0%} biaxial compression "
+            f"(rot {float(u[0, 2]):+.3f})",
+            OUT / f"rotated_square_bands_strain_{strain:.2f}.png",
+        )
+        print(f"strain {strain:.0%}: mechanism rotation "
+              f"{float(u[0, 2]):+.4f} rad, "
+              f"top band max {float(omega.max()):.4f}")
+
 
 if __name__ == "__main__":
     main()
