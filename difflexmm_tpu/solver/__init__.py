@@ -19,6 +19,14 @@ from difflexmm_tpu.solver.frequency import (  # noqa: F401
     harmonic_response,
     transmission,
 )
+from difflexmm_tpu.solver.homogenize import (  # noqa: F401
+    areal_density,
+    christoffel_speeds,
+    effective_moduli,
+    effective_stress,
+    engineering_constants,
+    voigt,
+)
 from difflexmm_tpu.solver.bloch import (  # noqa: F401
     BlochCell,
     band_structure,
