@@ -31,8 +31,11 @@ from difflexmm_tpu.solver.bloch import (  # noqa: F401
     BlochCell,
     band_structure,
     bond_hessians,
+    bz_grid,
     cell_strain_energy,
+    density_of_states,
     dynamical_matrix,
+    group_velocity,
     relax_cell,
     frequencies,
     high_symmetry_path,

@@ -377,6 +377,114 @@ def band_structure(
     return jax.vmap(at_k)(jnp.atleast_2d(jnp.asarray(ks, dtype=float)))
 
 
+def group_velocity(
+    cell: BlochCell,
+    ks: jnp.ndarray,
+    bond_energy_fn: Callable = ligament_energy,
+    displacement: Optional[jnp.ndarray] = None,
+    affine: Optional[jnp.ndarray] = None,
+    omega_floor: float = 1e-9,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Band group velocities ``v_g = d omega / d k`` by Hellmann-Feynman.
+
+    For the mass-reduced Hermitian pencil ``A(k) = M^-1/2 D(k) M^-1/2``
+    with eigenpairs ``(omega^2_n, y_n)``, ``d omega^2_n / d k_a =
+    y_n^H (dA/dk_a) y_n`` — no eigenvector derivatives needed, and
+    ``dD/dk_a`` is assembled analytically (the boundary-crossing bond
+    blocks pick up ``i R_m,a`` phase factors; intra-cell blocks drop out).
+
+    Returns:
+        (omega (n_k, 3B) ascending, v_g (n_k, 3B, 2)).
+
+    Caveats: per-band velocities are ill-defined at degeneracies (the eigh
+    basis is arbitrary there) and at ``omega = 0`` (Gamma acoustic limit is
+    0/0 — evaluate at small finite k instead; bands with
+    ``omega < omega_floor`` report zero velocity).
+    """
+
+    H = bond_hessians(
+        cell, bond_energy_fn, displacement=displacement, affine=affine
+    )
+    B = cell.centroid_node_vectors.shape[0]
+    inv_sqrt_m = 1.0 / jnp.sqrt(jnp.asarray(cell.inertia).reshape(-1))
+    R_m = jnp.asarray(cell.bond_offsets, dtype=H.dtype) @ jnp.asarray(
+        cell.direct_basis
+    )
+    i, j = cell.bond_blocks[:, 0], cell.bond_blocks[:, 1]
+
+    def dD_dk(k, alpha):
+        phase = jnp.exp(1j * (R_m @ jnp.asarray(k, dtype=H.dtype)))
+        w = 1j * R_m[:, alpha] * phase  # d(phase)/dk_alpha
+        cplx = jnp.result_type(phase, H)
+        Hc = H.astype(cplx)
+        dD = jnp.zeros((B, 3, B, 3), dtype=cplx)
+        dD = dD.at[i, :, j, :].add(Hc[:, :3, 3:] * w[:, None, None])
+        dD = dD.at[j, :, i, :].add(
+            Hc[:, 3:, :3] * jnp.conj(w)[:, None, None]
+        )
+        return dD.reshape(3 * B, 3 * B)
+
+    def at_k(k):
+        A = (
+            dynamical_matrix(cell, H, k)
+            * inv_sqrt_m[:, None]
+            * inv_sqrt_m[None, :]
+        )
+        w, Y = jnp.linalg.eigh(A)
+        omega = jnp.sqrt(jnp.clip(w, 0.0))
+        vg = []
+        for alpha in (0, 1):
+            dA = dD_dk(k, alpha) * inv_sqrt_m[:, None] * inv_sqrt_m[None, :]
+            dw = jnp.real(jnp.einsum("in,ij,jn->n", jnp.conj(Y), dA, Y))
+            vg.append(
+                jnp.where(
+                    omega > omega_floor, dw / (2.0 * jnp.maximum(omega, omega_floor)), 0.0
+                )
+            )
+        return omega, jnp.stack(vg, axis=-1)
+
+    return jax.vmap(at_k)(jnp.atleast_2d(jnp.asarray(ks, dtype=float)))
+
+
+def bz_grid(cell: BlochCell, n1: int, n2: int) -> jnp.ndarray:
+    """Uniform Monkhorst-Pack-style sampling of the first Brillouin zone:
+    ``(n1 * n2, 2)`` Cartesian wave vectors at fractional coordinates
+    ``((p + 1/2)/n1 - 1/2, (q + 1/2)/n2 - 1/2)`` of the reciprocal basis
+    (half-step offset avoids placing points exactly on Gamma or the zone
+    boundary)."""
+
+    b = reciprocal_basis(cell.direct_basis)
+    f1 = (jnp.arange(n1) + 0.5) / n1 - 0.5
+    f2 = (jnp.arange(n2) + 0.5) / n2 - 0.5
+    F1, F2 = jnp.meshgrid(f1, f2, indexing="ij")
+    frac = jnp.stack([F1.reshape(-1), F2.reshape(-1)], axis=1)
+    return frac @ b
+
+
+def density_of_states(
+    omega_samples: jnp.ndarray,
+    omega_grid: jnp.ndarray,
+    sigma: float,
+) -> jnp.ndarray:
+    """Gaussian-smeared phonon density of states from band frequencies
+    sampled over the Brillouin zone (e.g. ``frequencies(band_structure(
+    cell, bz_grid(cell, n, n)))``).
+
+    Normalized per cell: ``integral g(omega) d omega = n_bands`` (each
+    k-point carries weight ``1/n_k``), so a flat band of multiplicity m
+    integrates to m.
+    """
+
+    om = jnp.asarray(omega_samples).reshape(-1)
+    n_k = jnp.asarray(omega_samples).shape[0] if jnp.asarray(
+        omega_samples
+    ).ndim > 1 else 1
+    grid = jnp.asarray(omega_grid)
+    z = (grid[:, None] - om[None, :]) / sigma
+    g = jnp.exp(-0.5 * z * z) / (sigma * jnp.sqrt(2.0 * jnp.pi))
+    return jnp.sum(g, axis=1) / n_k
+
+
 def frequencies(omega_sq: jnp.ndarray) -> jnp.ndarray:
     """omega from omega^2, clipping the numerically-negative zero modes."""
 

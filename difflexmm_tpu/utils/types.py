@@ -152,14 +152,43 @@ def save_data(path_or_filename: Union[str, Path], data: object) -> None:
         pickle.dump(data, f)
 
 
+class _CompatUnpickler(pickle.Unpickler):
+    """Unpickler that also accepts archives written by the reference
+    implementation: its containers live under the ``difflexmm.*`` module
+    tree (reference difflexmm/utils.py:9-163) with the same class and
+    field names as this package's, so a pickle of ``difflexmm.utils.
+    SolutionData`` maps onto our :class:`SolutionData` directly. Lets a
+    user switching frameworks load their existing result archives."""
+
+    def find_class(self, module: str, name: str):
+        if module == "difflexmm" or module.startswith("difflexmm."):
+            replacement = globals().get(name)
+            if replacement is not None:
+                return replacement
+            # Unknown reference class (e.g. a problems/ dataclass): retry
+            # under this package's models tree before giving up.
+            try:
+                import importlib
+
+                mapped = importlib.import_module(
+                    module.replace("difflexmm", "difflexmm_tpu", 1)
+                )
+                return getattr(mapped, name)
+            except (ImportError, AttributeError):
+                pass
+        return super().find_class(module, name)
+
+
 def load_data(path_or_filename: Union[str, Path]):
-    """Load an object saved with :func:`save_data`.
+    """Load an object saved with :func:`save_data` — or by the reference
+    implementation (``difflexmm.*`` classes are remapped onto this
+    package's same-named containers).
 
     Arrays inside known solution containers are cast back to jnp arrays.
     """
 
     with open(path_or_filename, "rb") as f:
-        data = pickle.load(f)
+        data = _CompatUnpickler(f).load()
 
     if isinstance(data, (SolutionData, EigenmodeData)):
         cls = type(data)

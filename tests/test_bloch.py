@@ -22,8 +22,11 @@ from difflexmm_tpu.ops.bonds import (
 from difflexmm_tpu.solver.bloch import (
     band_structure,
     bond_hessians,
+    bz_grid,
+    density_of_states,
     dynamical_matrix,
     frequencies,
+    group_velocity,
     high_symmetry_path,
     kagome_periodic_cell,
     quad_periodic_cell,
@@ -249,3 +252,66 @@ def test_relaxed_band_structure_differs_and_grad_matches_fd():
     h = 1e-6
     fd = (float(band(e0 + h)) - float(band(e0 - h))) / (2 * h)
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_group_velocity_spring_chain_analytic():
+    # d omega / d k of the monatomic chain: a sqrt(k/m) cos(k a / 2),
+    # negative past the zone midpoint (omega = 2 sqrt(k/m) |sin(ka/2)|).
+    k_s, a, m = 2.3, 1.7, 0.6
+    cell = spring_chain_cell(k_stretch=k_s, spacing=a, mass=m)
+    kx = jnp.array([0.3, 0.9, 1.4]) * (jnp.pi / a)
+    ks = jnp.stack([kx, jnp.zeros_like(kx)], axis=1)
+    omega, vg = group_velocity(cell, ks, bond_energy_fn=simple_spring_energy)
+    analytic = a * jnp.sqrt(k_s / m) * jnp.cos(kx * a / 2)
+    np.testing.assert_allclose(vg[:, 2, 0], analytic, atol=1e-10)
+    np.testing.assert_allclose(vg[:, 2, 1], 0.0, atol=1e-10)
+    np.testing.assert_allclose(
+        omega[:, 2], 2 * jnp.sqrt(k_s / m) * jnp.abs(jnp.sin(kx * a / 2)),
+        atol=1e-12,
+    )
+
+
+def test_group_velocity_matches_finite_differences():
+    cell = rotated_square_cell(angle=0.25, k_stretch=1.0, k_shear=1.0, k_rot=1e-3)
+    k0 = jnp.array([0.4, 0.7])
+    omega, vg = group_velocity(cell, k0[None])
+    eps = 1e-6
+    for alpha, e in ((0, jnp.array([eps, 0.0])), (1, jnp.array([0.0, eps]))):
+        omp = frequencies(band_structure(cell, (k0 + e)[None]))[0]
+        omm = frequencies(band_structure(cell, (k0 - e)[None]))[0]
+        np.testing.assert_allclose(
+            vg[0, :, alpha], (omp - omm) / (2 * eps), atol=1e-7
+        )
+
+
+def test_group_velocity_acoustic_limit_matches_christoffel():
+    # THIRD independent path to the sound speeds: Hellmann-Feynman band
+    # slopes at small k vs Christoffel speeds from the condensed moduli.
+    from difflexmm_tpu.solver.homogenize import (
+        areal_density,
+        christoffel_speeds,
+        effective_moduli,
+    )
+
+    cell = rotated_square_cell(angle=0.25, k_stretch=1.0, k_shear=1.0, k_rot=1e-3)
+    n = jnp.array([0.6, 0.8])
+    n = n / jnp.linalg.norm(n)
+    _, vg = group_velocity(cell, (1e-3 * n)[None, :])
+    v_hf = np.sort(np.asarray(vg[0, :2] @ n))
+    C = effective_moduli(cell)
+    v_chr = np.sort(np.asarray(christoffel_speeds(C, areal_density(cell), n)))
+    np.testing.assert_allclose(v_hf, v_chr, rtol=1e-4)
+
+
+def test_density_of_states_normalization_and_zone_boundary_pileup():
+    cell = rotated_square_cell(angle=0.25, k_stretch=1.0, k_shear=1.0, k_rot=1e-3)
+    grid_k = bz_grid(cell, 10, 10)
+    assert grid_k.shape == (100, 2)
+    oms = frequencies(band_structure(cell, grid_k))
+    og = jnp.linspace(-0.5, float(oms.max()) + 0.5, 400)
+    g = density_of_states(oms, og, sigma=0.02)
+    # Each k carries weight 1/n_k: the DOS integrates to n_bands.
+    np.testing.assert_allclose(
+        float(jnp.trapezoid(g, og)), oms.shape[1], rtol=1e-3
+    )
+    assert np.all(np.asarray(g) >= 0.0)

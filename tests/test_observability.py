@@ -131,3 +131,57 @@ def test_max_seconds_expiry_checkpoint_and_aligned_resume(tmp_path):
     # (ADVICE r2: they used to restart empty).
     for name, values in opt2.constraints_violation.items():
         assert len(values) == n_done + 1, name
+
+
+def test_load_data_reads_reference_written_archives(tmp_path):
+    """A pickle written by the REFERENCE package (classes under the
+    ``difflexmm.*`` module tree, reference difflexmm/utils.py:9-25) loads
+    through this package's load_data, remapped onto our same-named
+    containers. Simulated with a synthetic ``difflexmm.utils`` module so
+    the test does not depend on the reference being importable."""
+
+    import pickle
+    import sys
+    import types as pytypes
+    from typing import Any, NamedTuple
+
+    import numpy as np
+
+    class SolutionData(NamedTuple):
+        block_centroids: Any
+        centroid_node_vectors: Any
+        bond_connectivity: Any
+        timepoints: Any
+        fields: Any
+
+    fake_pkg = pytypes.ModuleType("difflexmm")
+    fake_utils = pytypes.ModuleType("difflexmm.utils")
+    SolutionData.__module__ = "difflexmm.utils"
+    SolutionData.__qualname__ = "SolutionData"
+    fake_utils.SolutionData = SolutionData
+    fake_pkg.utils = fake_utils
+    sys.modules["difflexmm"] = fake_pkg
+    sys.modules["difflexmm.utils"] = fake_utils
+    try:
+        ref_solution = SolutionData(
+            block_centroids=np.zeros((4, 2)),
+            centroid_node_vectors=np.zeros((4, 4, 2)),
+            bond_connectivity=np.zeros((3, 2), dtype=np.int32),
+            timepoints=np.linspace(0.0, 1.0, 5),
+            fields=np.zeros((5, 2, 4, 3)),
+        )
+        pkl = tmp_path / "reference_solution.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(ref_solution, f)
+    finally:
+        del sys.modules["difflexmm"]
+        del sys.modules["difflexmm.utils"]
+
+    from difflexmm_tpu.utils.types import SolutionData as OurSolutionData
+    from difflexmm_tpu.utils.types import load_data
+
+    loaded = load_data(pkl)
+    assert isinstance(loaded, OurSolutionData)
+    assert isinstance(loaded.fields, jnp.ndarray)
+    assert loaded.fields.shape == (5, 2, 4, 3)
+    assert loaded.timepoints.shape == (5,)
