@@ -40,6 +40,8 @@ from difflexmm_tpu.solver.bloch import (  # noqa: F401
     frequencies,
     high_symmetry_path,
     kagome_periodic_cell,
+    line_defect_cell,
+    mode_localization,
     quad_periodic_cell,
     reciprocal_basis,
     rotated_square_cell,

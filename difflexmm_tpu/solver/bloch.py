@@ -763,6 +763,75 @@ def quad_periodic_cell(
     )
 
 
+def line_defect_cell(
+    cell: BlochCell,
+    period: int,
+    axis: int = 1,
+    defect_index: Optional[int] = None,
+    **param_overrides,
+) -> BlochCell:
+    """Supercell with one subcell row's bond parameters overridden — a
+    line defect periodic along the other lattice direction (waveguide /
+    domain-wall studies inside a bulk band gap).
+
+    Builds ``supercell(cell, 1, period)`` (``axis=1``; rows of subcells
+    stacked along a2) or ``supercell(cell, period, 1)`` (``axis=0``) and
+    replaces the given per-bond parameters on the bonds of subcell
+    ``defect_index`` (default: the middle row). Overrides may be scalars
+    or per-base-bond arrays; all other rows keep the host cell's values
+    (scalars are broadcast to per-bond arrays as needed).
+
+    The sub-block ordering of :func:`supercell` makes this index
+    arithmetic: bond ``r * n_bonds + b`` belongs to subcell ``r``.
+    """
+
+    if axis not in (0, 1):
+        raise ValueError(f"axis must be 0 or 1, got {axis}")
+    n_bonds = int(cell.bond_blocks.shape[0])
+    sc = supercell(
+        cell, period if axis == 0 else 1, period if axis == 1 else 1
+    )
+    mid = period // 2 if defect_index is None else defect_index % period
+    sel = slice(mid * n_bonds, (mid + 1) * n_bonds)
+    params = dict(sc.bond_params)
+    per_bond_base, shared = _per_bond_params(cell.bond_params, n_bonds)
+    for name, value in param_overrides.items():
+        if name in params and jnp.asarray(params[name]).ndim >= 1 and (
+            jnp.asarray(params[name]).shape[0] == period * n_bonds
+        ):
+            host = jnp.asarray(params[name])
+        elif name in shared:
+            host = jnp.broadcast_to(
+                jnp.asarray(shared[name], dtype=float), (period * n_bonds,)
+            )
+        elif name in per_bond_base:
+            host = jnp.tile(jnp.asarray(per_bond_base[name]), (period,))
+        else:
+            raise KeyError(
+                f"unknown bond parameter {name!r}; cell has "
+                f"{sorted(cell.bond_params)}"
+            )
+        override = jnp.broadcast_to(jnp.asarray(value, dtype=host.dtype), (n_bonds,) + host.shape[1:])
+        params[name] = host.at[sel].set(override)
+    return sc._replace(bond_params=params)
+
+
+def mode_localization(
+    cell: BlochCell, modes: jnp.ndarray, period: int
+) -> jnp.ndarray:
+    """Per-mode weight fraction on each subcell row of a supercell built
+    with :func:`supercell`/:func:`line_defect_cell`: ``(..., period,
+    n_modes)`` from mode columns ``(..., 3B*period, n_modes)``. A guided
+    mode concentrates its fraction on the defect row."""
+
+    m = jnp.asarray(modes)
+    B3 = m.shape[-2] // period
+    w = jnp.abs(m) ** 2
+    w = w / jnp.sum(w, axis=-2, keepdims=True)
+    shape = w.shape[:-2] + (period, B3) + w.shape[-1:]
+    return jnp.sum(w.reshape(shape), axis=-2)
+
+
 def spring_chain_cell(
     k_stretch: float = 1.0,
     spacing: float = 1.0,

@@ -315,3 +315,70 @@ def test_density_of_states_normalization_and_zone_boundary_pileup():
         float(jnp.trapezoid(g, og)), oms.shape[1], rtol=1e-3
     )
     assert np.all(np.asarray(g) >= 0.0)
+
+
+def test_line_defect_waveguide_band_in_bulk_gap():
+    """A soft-hinge line defect pulls guided branches into the pristine
+    lattice's band gap, localized on the defect row; the pristine
+    supercell's gap interior stays empty (the folded bands cannot enter a
+    true bulk gap)."""
+
+    from difflexmm_tpu.solver.bloch import line_defect_cell, mode_localization
+
+    base = rotated_square_cell(
+        angle=0.25, k_stretch=1.0, k_shear=0.3, k_rot=0.05
+    )
+    P = 7
+    pristine = supercell(base, 1, P)
+    guide = line_defect_cell(base, P, k_rot=0.005)
+
+    b = reciprocal_basis(base.direct_basis)
+    kx = jnp.linspace(0.0, 0.5, 11)
+    ks = jnp.stack([kx * b[0, 0], jnp.zeros_like(kx)], axis=1)
+    om_p = np.asarray(frequencies(band_structure(pristine, ks)))
+    om_sq, modes = band_structure(guide, ks, with_modes=True)
+    om_g = np.asarray(frequencies(om_sq))
+
+    # Pristine gap (around the known band-3/4 gap of this cell).
+    below = om_p[om_p <= 3.75].max()
+    above = om_p[om_p >= 3.75].min()
+    assert above - below > 0.4
+
+    # Defect: guided states in the gap interior at several k.
+    interior = (om_g > below + 0.1) & (om_g < above - 0.1)
+    assert interior.sum() >= 3
+    # ...localized on (or next to) the defect row.
+    loc = np.asarray(mode_localization(guide, modes, P))
+    mid = P // 2
+    kk, bands = np.where(interior)
+    frac_mid3 = (
+        loc[kk, mid, bands]
+        + loc[kk, mid - 1, bands]
+        + loc[kk, (mid + 1) % P, bands]
+    )
+    assert frac_mid3.mean() > 0.75
+    # Pristine gap interior is empty.
+    assert not np.any((om_p > below + 0.1) & (om_p < above - 0.1))
+
+
+def test_line_defect_cell_param_handling():
+    from difflexmm_tpu.solver.bloch import line_defect_cell
+
+    base = rotated_square_cell(angle=0.2)
+    nb = base.bond_blocks.shape[0]
+    P = 5
+    guide = line_defect_cell(base, P, k_rot=0.01, defect_index=1)
+    kr = np.asarray(guide.bond_params["k_rot"])
+    assert kr.shape == (P * nb,)
+    np.testing.assert_allclose(kr[nb : 2 * nb], 0.01)
+    host = np.asarray(
+        jnp.broadcast_to(jnp.asarray(base.bond_params["k_rot"]), (nb,))
+    )
+    np.testing.assert_allclose(kr[:nb], host)
+    np.testing.assert_allclose(kr[2 * nb :], np.tile(host, P - 2))
+    # Unknown parameter fails loudly.
+    with pytest.raises(KeyError):
+        line_defect_cell(base, P, not_a_param=1.0)
+    # axis=0 variant transposes the supercell.
+    g0 = line_defect_cell(base, P, axis=0, k_rot=0.01)
+    assert g0.centroid_node_vectors.shape[0] == P * base.centroid_node_vectors.shape[0]
