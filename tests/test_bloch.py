@@ -382,3 +382,79 @@ def test_line_defect_cell_param_handling():
     # axis=0 variant transposes the supercell.
     g0 = line_defect_cell(base, P, axis=0, k_rot=0.01)
     assert g0.centroid_node_vectors.shape[0] == P * base.centroid_node_vectors.shape[0]
+
+
+def test_wavepacket_speed_matches_bloch_group_velocity():
+    """Cross-subsystem oracle: a narrowband wavepacket launched in the
+    TIME-DOMAIN solver must travel at the INFINITE lattice's Bloch group
+    velocity — two fully independent code paths (velocity-Verlet scan on a
+    finite chain vs Hellmann-Feynman band slopes) agreeing on transport.
+    Chain: the textbook monatomic spring chain, carrier omega0 = 1.2
+    (vg = cos(k0/2) = 0.8 analytically for k = m = a = 1)."""
+
+    from typing import Any, NamedTuple
+
+    from difflexmm_tpu.ops.assembly import build_strain_energy
+    from difflexmm_tpu.solver import setup_dynamic_solver
+    from difflexmm_tpu.utils import (
+        ControlParams,
+        GeometricalParams,
+        MechanicalParams,
+    )
+
+    class SpringParams(NamedTuple):
+        reference_vector: Any
+        k_stretch: Any
+
+    N = 64
+    centroids = jnp.stack([jnp.arange(N, dtype=float), jnp.zeros(N)], axis=1)
+    bonds = jnp.stack([jnp.arange(N - 1), jnp.arange(1, N)], axis=1)
+    ref_vecs = jnp.tile(jnp.array([[1.0, 0.0]]), (N - 1, 1))
+    energy = build_strain_energy(bonds, simple_spring_energy)
+
+    omega0, t0, tau = 1.2, 30.0, 12.0
+
+    def drive(t, amplitude=0.1):
+        return (
+            amplitude
+            * jnp.sin(omega0 * t)
+            * jnp.exp(-(((t - t0) / tau) ** 2))
+        )
+
+    solve = setup_dynamic_solver(
+        geometry=N,
+        energy_fn=energy,
+        constrained_block_DOF_pairs=jnp.array([[0, 0]]),
+        constrained_DOFs_fn=drive,
+        method="verlet",
+        n_substeps=50,
+    )
+    cp = ControlParams(
+        geometrical_params=GeometricalParams(
+            centroids, jnp.zeros((N, 1, 2))
+        ),
+        mechanical_params=MechanicalParams(
+            bond_params=SpringParams(ref_vecs, 1.0),
+            density=1.0,
+            damping=0.0,
+            inertia=jnp.full((N, 3), 1.0),
+        ),
+        constraint_params=dict(amplitude=0.1),
+    )
+    timepoints = jnp.linspace(0.0, 110.0, 221)
+    sol = jax.jit(solve)(jnp.zeros((2, N, 3)), timepoints, cp)
+
+    # Arrival: energy-centroid time at two distant probes (robust against
+    # the carrier phase, unlike raw cross-correlation).
+    ts = np.asarray(timepoints)
+    e25 = np.asarray(sol[:, 0, 25, 0]) ** 2
+    e45 = np.asarray(sol[:, 0, 45, 0]) ** 2
+    delay = (ts * e45).sum() / e45.sum() - (ts * e25).sum() / e25.sum()
+    vg_measured = 20.0 / delay
+
+    cell = spring_chain_cell(k_stretch=1.0, spacing=1.0, mass=1.0)
+    k0 = 2.0 * np.arcsin(omega0 / 2.0)
+    _, vg = group_velocity(
+        cell, jnp.array([[k0, 0.0]]), bond_energy_fn=simple_spring_energy
+    )
+    np.testing.assert_allclose(vg_measured, float(vg[0, 2, 0]), rtol=0.02)

@@ -260,3 +260,62 @@ def test_transmission_differentiable_wrt_design():
     value, grad = jax.value_and_grad(curve)(0.25)
     assert np.isfinite(float(value)) and float(value) > 0
     assert np.isfinite(float(grad)) and abs(float(grad)) > 0
+
+
+def test_transmission_collapses_inside_bloch_band_gap():
+    """Cross-subsystem oracle: the FINITE strip's frequency-domain
+    transmission must collapse exactly where the INFINITE lattice's Bloch
+    band structure has its gap — two independent code paths (harmonic
+    complex solve on a finite RotatedSquareGeometry vs periodic-cell
+    dynamical-matrix dispersion in solver/bloch.py) agreeing on the
+    stop band. The cell (angle=0.25, k=1.0/0.3/0.05) has its bulk gap at
+    [3.456, 4.051] (pinned by tests/test_bloch.py's gap machinery)."""
+
+    from difflexmm_tpu.solver.bloch import (
+        band_structure,
+        bz_grid,
+        frequencies,
+        rotated_square_cell,
+    )
+
+    cell = rotated_square_cell(
+        angle=0.25, k_stretch=1.0, k_shear=0.3, k_rot=0.05
+    )
+    om = frequencies(band_structure(cell, bz_grid(cell, 10, 10)))
+    gap_lo = float(np.asarray(om.max(axis=0))[:4].max())
+    gap_hi = float(np.asarray(om.min(axis=0))[4:].min())
+    assert gap_hi - gap_lo > 0.4
+
+    n1, n2, angle = 14, 5, 0.25
+    geo = RotatedSquareGeometry(n1, n2, spacing=1.0, bond_length=0.1)
+    bc, cnv, bonds, rbv = geo.get_parametrization()
+    cp = ControlParams(
+        geometrical_params=GeometricalParams(bc(angle), cnv(angle)),
+        mechanical_params=MechanicalParams(
+            bond_params=LigamentParams(1.0, 0.3, 0.05, rbv()),
+            density=1.0,
+            damping=0.05,
+        ),
+        constraint_params=dict(),
+    )
+    energy = build_strain_energy(bonds(), ligament_energy_linearized)
+    nb = geo.n_blocks
+    centroids = np.asarray(bc(angle))
+    left = np.where(centroids[:, 0] < centroids[:, 0].min() + 0.5)[0]
+    right = np.where(centroids[:, 0] > centroids[:, 0].max() - 0.5)[0]
+    forcing = jnp.zeros((nb, 3))
+    for b in left:
+        forcing = forcing.at[b, 0].set(1.0)
+
+    passband = jnp.array([2.0, 3.0])
+    midgap = jnp.array([0.5 * (gap_lo + gap_hi)])
+    omegas = jnp.concatenate([passband, midgap])
+    u = harmonic_response(
+        jnp.zeros((nb, 3)), geo, energy, cp, forcing, omegas,
+        damped_blocks=np.arange(nb),
+    )
+    T = np.asarray(transmission(u, left, right))
+    # Passband carries; mid-gap transmission collapses by many orders.
+    assert T[0] > 1e-2
+    assert T[2] < 1e-8
+    assert T[2] < 1e-6 * T[1]
