@@ -252,6 +252,83 @@ def plot_mode(
     )
 
 
+def plot_band_structure(
+    arclength,
+    omegas,
+    corner_ticks=None,
+    corner_labels: Optional[Sequence[str]] = None,
+    gap_shading: bool = True,
+    ax=None,
+    **kwargs,
+):
+    """Band diagram along a k-path (no reference counterpart — the
+    reference has no dispersion tooling).
+
+    Args:
+        arclength: (n_k,) cumulative path coordinate from
+            :func:`~difflexmm_tpu.solver.bloch.high_symmetry_path`.
+        omegas: (n_k, n_bands) frequencies
+            (:func:`~difflexmm_tpu.solver.bloch.frequencies` of
+            ``band_structure``).
+        corner_ticks: corner arclengths (third return of
+            ``high_symmetry_path``) drawn as vertical guides.
+        corner_labels: tick labels, e.g. ``["$\\Gamma$", "X", "M"]``.
+        gap_shading: shade global band gaps (bands never enter them at
+            any plotted k).
+    """
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 4))
+    s = np.asarray(arclength)
+    om = np.asarray(omegas)
+    kwargs.setdefault("color", "tab:blue")
+    kwargs.setdefault("lw", 1.2)
+    ax.plot(s, om, **kwargs)
+    if gap_shading:
+        hi, lo = om.max(axis=0), om.min(axis=0)
+        for b in range(om.shape[1] - 1):
+            top, bottom = hi[: b + 1].max(), lo[b + 1 :].min()
+            if bottom > top + 1e-9:
+                ax.axhspan(top, bottom, color="0.85", zorder=0)
+    if corner_ticks is not None:
+        ticks = np.asarray(corner_ticks)
+        for t in ticks[1:-1]:
+            ax.axvline(t, color="0.7", lw=0.6, zorder=0)
+        ax.set_xticks(ticks)
+        if corner_labels is not None:
+            ax.set_xticklabels(corner_labels)
+    ax.set_xlim(s[0], s[-1])
+    ax.set_ylim(0, None)
+    ax.set_xlabel("wave vector")
+    ax.set_ylabel(r"$\omega$")
+    return ax
+
+
+def plot_density_of_states(
+    omega_grid, dos, ax=None, vertical: bool = False, **kwargs
+):
+    """Phonon DOS panel (pairs with :func:`plot_band_structure`; pass
+    ``vertical=True`` to share its frequency axis side-by-side)."""
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(2.5, 4) if vertical else (5, 3))
+    og, g = np.asarray(omega_grid), np.asarray(dos)
+    kwargs.setdefault("color", "tab:orange")
+    if vertical:
+        ax.fill_betweenx(og, 0.0, g, alpha=0.4, **kwargs)
+        ax.plot(g, og, lw=1.0, color=kwargs["color"])
+        ax.set_xlabel("DOS")
+        ax.set_ylabel(r"$\omega$")
+        ax.set_xlim(0, None)
+    else:
+        ax.fill_between(og, 0.0, g, alpha=0.4, **kwargs)
+        ax.plot(og, g, lw=1.0, color=kwargs["color"])
+        ax.set_xlabel(r"$\omega$")
+        ax.set_ylabel("DOS")
+        ax.set_ylim(0, None)
+    return ax
+
+
 def plot_video_frame_field_overlaid(
     video_path: Union[str, Path],
     frame_index: int,

@@ -57,15 +57,13 @@ def plot_bands(dist, omega, ticks, labels, title, path):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(5, 4))
-    ax.plot(np.asarray(dist), np.asarray(omega), lw=1.2)
-    for t in ticks:
-        ax.axvline(t, color="0.85", lw=0.8, zorder=0)
-    ax.set_xticks(ticks, labels)
-    ax.set_xlim(dist[0], dist[-1])
-    ax.set_ylim(bottom=0)
-    ax.set_ylabel("omega")
+    from difflexmm_tpu.plotting import plot_band_structure
+
+    ax = plot_band_structure(
+        dist, omega, corner_ticks=ticks, corner_labels=labels
+    )
     ax.set_title(title)
+    fig = ax.figure
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     plt.close(fig)

@@ -170,3 +170,52 @@ def test_node_loading_virtual_work():
     # Untouched blocks receive nothing (kinematics is block-local).
     untouched = [i for i in range(nb) if i not in triples[:, 0]]
     assert jnp.allclose(Q[jnp.asarray(untouched)], 0.0)
+
+
+def test_plot_band_structure_and_dos(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax.numpy as jnp
+
+    from difflexmm_tpu.plotting import (
+        plot_band_structure,
+        plot_density_of_states,
+    )
+    from difflexmm_tpu.solver.bloch import (
+        band_structure,
+        bz_grid,
+        density_of_states,
+        frequencies,
+        high_symmetry_path,
+        reciprocal_basis,
+        rotated_square_cell,
+    )
+
+    cell = rotated_square_cell(
+        angle=0.25, k_stretch=1.0, k_shear=0.3, k_rot=0.05
+    )
+    b = reciprocal_basis(cell.direct_basis)
+    ks, dist, ticks = high_symmetry_path(
+        [[0.0, 0.0], 0.5 * b[0], 0.5 * (b[0] + b[1])], n_per_segment=6
+    )
+    om = frequencies(band_structure(cell, ks))
+    ax = plot_band_structure(
+        dist, om, corner_ticks=ticks, corner_labels=["G", "X", "M"]
+    )
+    # All bands plotted, gap shading present (this cell has 2 gaps).
+    assert len(ax.lines) >= om.shape[1]
+    assert len(ax.patches) >= 1
+    assert ax.get_xticklabels()[0].get_text() == "G"
+
+    og = jnp.linspace(0.0, float(om.max()) + 0.5, 100)
+    g = density_of_states(
+        frequencies(band_structure(cell, bz_grid(cell, 6, 6))), og, 0.05
+    )
+    ax2 = plot_density_of_states(og, g, vertical=True)
+    assert ax2.get_xlabel() == "DOS"
+    import matplotlib.pyplot as plt
+
+    fig = ax.figure
+    fig.savefig(tmp_path / "bands.png")
+    plt.close("all")
