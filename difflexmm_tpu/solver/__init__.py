@@ -33,6 +33,7 @@ from difflexmm_tpu.solver.bloch import (  # noqa: F401
     bond_hessians,
     bz_grid,
     cell_strain_energy,
+    defect_supercell,
     density_of_states,
     dynamical_matrix,
     group_velocity,

@@ -763,6 +763,59 @@ def quad_periodic_cell(
     )
 
 
+def defect_supercell(
+    cell: BlochCell,
+    p1: int,
+    p2: int,
+    defect_cells,
+    **param_overrides,
+) -> BlochCell:
+    """``(p1, p2)`` supercell with the bond parameters of chosen subcells
+    overridden — point defects (cavity resonators), defect clusters, or
+    arbitrary patterned supercells inside a bulk band gap.
+
+    Args:
+        defect_cells: iterable of ``(s1, s2)`` subcell indices to modify.
+        param_overrides: bond-parameter overrides applied to every bond of
+            those subcells; scalars or per-base-bond arrays. All other
+            subcells keep the host cell's values.
+
+    The sub-block ordering of :func:`supercell` makes this index
+    arithmetic: bond ``r * n_bonds + b`` belongs to subcell
+    ``r = s2 * p1 + s1``.
+    """
+
+    n_bonds = int(cell.bond_blocks.shape[0])
+    n_sub = p1 * p2
+    sc = supercell(cell, p1, p2)
+    rows = [(int(s2) % p2) * p1 + (int(s1) % p1) for s1, s2 in defect_cells]
+    params = dict(sc.bond_params)
+    per_bond_base, shared = _per_bond_params(cell.bond_params, n_bonds)
+    for name, value in param_overrides.items():
+        if name in params and jnp.asarray(params[name]).ndim >= 1 and (
+            jnp.asarray(params[name]).shape[0] == n_sub * n_bonds
+        ):
+            host = jnp.asarray(params[name])
+        elif name in shared:
+            host = jnp.broadcast_to(
+                jnp.asarray(shared[name], dtype=float), (n_sub * n_bonds,)
+            )
+        elif name in per_bond_base:
+            host = jnp.tile(jnp.asarray(per_bond_base[name]), (n_sub,))
+        else:
+            raise KeyError(
+                f"unknown bond parameter {name!r}; cell has "
+                f"{sorted(cell.bond_params)}"
+            )
+        override = jnp.broadcast_to(
+            jnp.asarray(value, dtype=host.dtype), (n_bonds,) + host.shape[1:]
+        )
+        for r in rows:
+            host = host.at[r * n_bonds : (r + 1) * n_bonds].set(override)
+        params[name] = host
+    return sc._replace(bond_params=params)
+
+
 def line_defect_cell(
     cell: BlochCell,
     period: int,
@@ -778,42 +831,16 @@ def line_defect_cell(
     stacked along a2) or ``supercell(cell, period, 1)`` (``axis=0``) and
     replaces the given per-bond parameters on the bonds of subcell
     ``defect_index`` (default: the middle row). Overrides may be scalars
-    or per-base-bond arrays; all other rows keep the host cell's values
-    (scalars are broadcast to per-bond arrays as needed).
-
-    The sub-block ordering of :func:`supercell` makes this index
-    arithmetic: bond ``r * n_bonds + b`` belongs to subcell ``r``.
+    or per-base-bond arrays; all other rows keep the host cell's values.
+    Thin wrapper over :func:`defect_supercell`.
     """
 
     if axis not in (0, 1):
         raise ValueError(f"axis must be 0 or 1, got {axis}")
-    n_bonds = int(cell.bond_blocks.shape[0])
-    sc = supercell(
-        cell, period if axis == 0 else 1, period if axis == 1 else 1
-    )
     mid = period // 2 if defect_index is None else defect_index % period
-    sel = slice(mid * n_bonds, (mid + 1) * n_bonds)
-    params = dict(sc.bond_params)
-    per_bond_base, shared = _per_bond_params(cell.bond_params, n_bonds)
-    for name, value in param_overrides.items():
-        if name in params and jnp.asarray(params[name]).ndim >= 1 and (
-            jnp.asarray(params[name]).shape[0] == period * n_bonds
-        ):
-            host = jnp.asarray(params[name])
-        elif name in shared:
-            host = jnp.broadcast_to(
-                jnp.asarray(shared[name], dtype=float), (period * n_bonds,)
-            )
-        elif name in per_bond_base:
-            host = jnp.tile(jnp.asarray(per_bond_base[name]), (period,))
-        else:
-            raise KeyError(
-                f"unknown bond parameter {name!r}; cell has "
-                f"{sorted(cell.bond_params)}"
-            )
-        override = jnp.broadcast_to(jnp.asarray(value, dtype=host.dtype), (n_bonds,) + host.shape[1:])
-        params[name] = host.at[sel].set(override)
-    return sc._replace(bond_params=params)
+    if axis == 1:
+        return defect_supercell(cell, 1, period, [(0, mid)], **param_overrides)
+    return defect_supercell(cell, period, 1, [(mid, 0)], **param_overrides)
 
 
 def mode_localization(

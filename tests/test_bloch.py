@@ -458,3 +458,41 @@ def test_wavepacket_speed_matches_bloch_group_velocity():
         cell, jnp.array([[k0, 0.0]]), bond_energy_fn=simple_spring_energy
     )
     np.testing.assert_allclose(vg_measured, float(vg[0, 2, 0]), rtol=0.02)
+
+
+def test_point_defect_cavity_modes():
+    """A single soft subcell in a P x P supercell creates cavity modes in
+    the bulk gap: absent from the pristine supercell, localized on the
+    defect subcell, and nearly k-independent (flat bands — the resonators
+    are isolated by the gap)."""
+
+    from difflexmm_tpu.solver.bloch import defect_supercell, mode_localization
+
+    base = rotated_square_cell(
+        angle=0.25, k_stretch=1.0, k_shear=0.3, k_rot=0.05
+    )
+    P = 5
+    mid = P // 2
+    cavity = defect_supercell(base, P, P, [(mid, mid)], k_rot=0.005)
+    pristine = supercell(base, P, P)
+    gl, gh = 3.456 + 0.08, 4.051 - 0.08
+
+    K = jnp.array([[0.0, 0.0], [0.13, 0.07]])
+    om_sq, modes = band_structure(cavity, K, with_modes=True)
+    om_c = np.asarray(frequencies(om_sq))
+    om_p = np.asarray(frequencies(band_structure(pristine, K)))
+    in_gap_c = (om_c > gl) & (om_c < gh)
+    assert int(in_gap_c.sum()) >= 4
+    assert not np.any((om_p > gl) & (om_p < gh))
+
+    # Localization: defect-subcell weight far above the uniform 1/P^2.
+    loc = np.asarray(mode_localization(cavity, modes, P * P))
+    r = mid * P + mid
+    kk, bands = np.where(in_gap_c)
+    assert loc[kk, r, bands].min() > 10.0 / P**2
+
+    # Flat bands: cavity frequencies shift by < 1e-2 between the two k's.
+    f0 = np.sort(om_c[0][in_gap_c[0]])
+    f1 = np.sort(om_c[1][in_gap_c[1]])
+    assert f0.shape == f1.shape
+    np.testing.assert_allclose(f0, f1, atol=1e-2)
