@@ -102,3 +102,46 @@ def compute_space_time_xcorr(space_time0: jnp.ndarray, space_time1: jnp.ndarray)
     """
 
     return compute_max_xcorr2d_at_shift(space_time0, space_time1, shift=0, shift_axis=0)
+
+
+def spectral_dispersion(
+    space_time: jnp.ndarray,
+    dt: float,
+    dx: float,
+    window: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Experimental-style dispersion measurement: 2D Fourier transform of
+    a space-time wave field into the (k, omega) plane.
+
+    The standard lab analysis for both simulated trajectories and tracked
+    high-speed-video fields (the reference's experiment notebooks compare
+    fields directly; this exposes the k-omega picture): ridges of the
+    returned amplitude map trace the lattice's dispersion branches, which
+    for this framework must agree with :func:`difflexmm_tpu.solver.bloch.
+    band_structure` (cross-checked in tests/test_objectives.py).
+
+    Args:
+        space_time: (n_t, n_x) real field — one DOF sampled on a uniform
+            spatial line at uniform times (e.g.
+            ``solution.fields[:, 0, row_blocks, 0]``).
+        dt / dx: sample spacings.
+        window: apply a separable Hann window before transforming
+            (suppresses edge-truncation leakage).
+
+    Returns:
+        ``(omegas, ks, amplitude)``: positive angular frequencies
+        (n_t // 2 + 1,), wavenumbers (n_x,) centered on zero, and the
+        |FFT| magnitude (n_omega, n_k).
+    """
+
+    f = jnp.asarray(space_time)
+    n_t, n_x = f.shape
+    if window:
+        hann_t = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n_t) / (n_t - 1))
+        hann_x = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n_x) / (n_x - 1))
+        f = f * hann_t[:, None] * hann_x[None, :]
+    spectrum = jnp.fft.fft(jnp.fft.rfft(f, axis=0), axis=1)
+    amplitude = jnp.abs(jnp.fft.fftshift(spectrum, axes=1))
+    omegas = 2 * jnp.pi * jnp.fft.rfftfreq(n_t, d=dt)
+    ks = 2 * jnp.pi * jnp.fft.fftshift(jnp.fft.fftfreq(n_x, d=dx))
+    return omegas, ks, amplitude
