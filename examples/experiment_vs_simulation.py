@@ -83,6 +83,32 @@ def main() -> None:
     print(f"measured-drive playback ({replay.method}): "
           f"xcorr={float(xcorr):.4f} delay={int(delay)}")
 
+    # Stage 3 — k-omega analysis, the other standard lab comparison: both
+    # fields through objectives.spectral_dispersion (2D FFT of a row's ux
+    # history); matched models overlap in the transform plane too.
+    from difflexmm_tpu.objectives import spectral_dispersion
+
+    n1b = 2 * experiment.n1_cells
+    mid_row = jnp.arange(n1b) + (experiment.n2_cells) * n1b  # middle block row
+    dt_s = float(t[1] - t[0])
+    _, _, amp_exp = spectral_dispersion(
+        exp_solution.fields[:, 0, mid_row, 0], dt=dt_s, dx=1.0
+    )
+    overlaps = {}
+    for k_shear in (0.02, 0.2):
+        sim2 = make_problem(k_shear=k_shear)
+        sim2.setup()
+        _, _, amp_sim = spectral_dispersion(
+            sim2.solve().fields[:, 0, mid_row, 0], dt=dt_s, dx=1.0
+        )
+        overlaps[k_shear] = float(
+            jnp.sum(amp_exp * amp_sim)
+            / (jnp.linalg.norm(amp_exp) * jnp.linalg.norm(amp_sim))
+        )
+        print(f"k-omega spectral overlap (k_shear={k_shear}): "
+              f"{overlaps[k_shear]:.4f}")
+    assert overlaps[0.02] > 0.99 > overlaps[0.2]
+
 
 if __name__ == "__main__":
     main()
