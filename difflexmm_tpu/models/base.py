@@ -110,6 +110,38 @@ def clamped_corner_pairs(n1_blocks: int, n2_blocks: int, n_clamped: int) -> np.n
     return all_dofs_pairs(corner_block_ids(n1_blocks, n2_blocks, n_clamped))
 
 
+def check_disjoint_constrained_pairs(**groups: np.ndarray) -> None:
+    """Fail loudly when constraint groups claim the same [block, DOF].
+
+    The solver resolves duplicate constrained pairs last-write-wins (the
+    reference's ``.at[].set`` scatter does the same), so e.g. a corner
+    clamp that overlaps the driven strip silently ZEROES the drive — the
+    simulation runs, the objective is exactly 0, and nothing errors. This
+    check turns that degenerate configuration (too-small lattices, large
+    ``input_shift``) into a ValueError at setup time naming the colliding
+    groups.
+    """
+
+    names = list(groups)
+    keysets = {
+        name: {(int(b), int(d)) for b, d in np.asarray(pairs).reshape(-1, 2)}
+        for name, pairs in groups.items()
+    }
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            overlap = keysets[a] & keysets[b]
+            if overlap:
+                sample = sorted(overlap)[:6]
+                raise ValueError(
+                    f"Constrained [block, DOF] pairs of '{a}' and '{b}' "
+                    f"overlap on {len(overlap)} entries (e.g. {sample}); "
+                    "the scatter is last-write-wins, so the earlier group's "
+                    "drive would be silently overwritten. Shrink the clamps "
+                    "or excited strip (or reduce input_shift) so the groups "
+                    "are disjoint."
+                )
+
+
 def target_patch_ids(
     n1_blocks: int,
     n2_blocks: int,

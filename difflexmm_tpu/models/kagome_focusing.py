@@ -144,6 +144,9 @@ class ForwardProblem:
         clamped_pairs = _kagome_corner_pairs(
             self.n1_cells, self.n2_cells, self.n_blocks_clamped_corner
         )
+        base.check_disjoint_constrained_pairs(
+            driven=driven_pairs, clamped_corners=clamped_pairs
+        )
         constrained_pairs = np.concatenate([driven_pairs, clamped_pairs])
         drive_vector = jnp.asarray(
             np.concatenate(

@@ -129,6 +129,9 @@ class ForwardProblem:
 
         bottom_pairs = edge_pairs(bottom_blocks)
         top_pairs = edge_pairs(top_blocks)
+        base.check_disjoint_constrained_pairs(
+            driven=driven_pairs, bottom_edge=bottom_pairs, top_edge=top_pairs
+        )
         constrained_pairs = np.concatenate([driven_pairs, bottom_pairs, top_pairs])
 
         n_con = len(constrained_pairs)

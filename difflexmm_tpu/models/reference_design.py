@@ -103,6 +103,9 @@ class ForwardProblem:
         clamped_pairs = base.clamped_corner_pairs(
             geometry.n1_blocks, geometry.n2_blocks, self.n_blocks_clamped_corner
         )
+        base.check_disjoint_constrained_pairs(
+            driven=driven_pairs, clamped_corners=clamped_pairs
+        )
         constrained_pairs = np.concatenate([driven_pairs, clamped_pairs])
         drive_vector = jnp.asarray(
             np.concatenate([drive_mask, np.zeros(len(clamped_pairs))])

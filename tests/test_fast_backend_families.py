@@ -273,6 +273,7 @@ def _playback_problem(method, excited_blocks_fn, **overrides):
         k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0, damping=0.02,
         amplitude=0.0, loading_rate=1.0, input_delay=0.0,  # unused by playback
         n_excited_blocks=2, loaded_side="left",
+        n_blocks_clamped_corner=1,  # keep clamps clear of driven rows on 5x5
         simulation_time=2.0, n_timepoints=5, n_substeps=10,
         method=method,
     )

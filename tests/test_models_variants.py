@@ -295,3 +295,19 @@ def test_hinge_characterization_fit():
     )
     assert opt.objective_values[-1] < opt.objective_values[0]
     assert opt.fitted_responses is not None
+
+
+def test_overlapping_driven_and_clamped_pairs_raise():
+    """A lattice too small for its corner clamps must fail at setup, not
+    silently zero the drive (the constraint scatter is last-write-wins)."""
+
+    problem = _tiny_forward(n2_blocks=4, n_excited_blocks=2)  # clamps hit rows 1-2
+    with pytest.raises(ValueError, match="last-write-wins"):
+        problem.setup()
+
+    # Disjoint clamps on the same lattice set up fine and actually drive.
+    ok = _tiny_forward(n2_blocks=4, n_excited_blocks=2, n_blocks_clamped_corner=1)
+    ok.setup()
+    design = ok.geometry.get_design_from_rotated_square(0.2)
+    fields = ok.solve(design).fields
+    assert float(jnp.abs(fields).max()) > 0.0

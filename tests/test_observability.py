@@ -95,6 +95,7 @@ def test_max_seconds_expiry_checkpoint_and_aligned_resume(tmp_path):
             k_stretch=1.0, k_shear=0.02, k_rot=1e-3, density=1.0,
             damping=0.02, amplitude=0.15, loading_rate=2.0, input_delay=0.0,
             n_excited_blocks=2, loaded_side="left",
+            n_blocks_clamped_corner=1,  # clamps clear of driven rows on 5x5
             simulation_time=2.0, n_timepoints=5, n_substeps=12,
         )
         return OptimizationProblem(problem, target_size=(2, 2))
