@@ -45,3 +45,12 @@ def test_tensile_oracle_f32():
     assert check.tensile_oracle_f32(record), record
     errs = record["tensile_f32"]["strain_rel_errs"]
     assert max(errs.values()) < check.TOL_TENSILE_STRAIN_F32
+
+
+@requires_tpu
+def test_serving_roundtrip_on_chip():
+    import tools.tpu_parity_check as check
+
+    record = {}
+    assert check.serving_roundtrip(record), record
+    assert record["serving"]["grad_rel_err_vs_live"] < 1e-6

@@ -188,6 +188,45 @@ def verlet_ckpt_parity(record):
     )
 
 
+def serving_roundtrip(record):
+    """AOT-export serving path on chip: serialize the flagship
+    value_and_grad (difflexmm_tpu/serving.py), deserialize from bytes, and
+    run the artifact on the TPU — it must agree with the live-traced jit to
+    f32 reassociation noise (same program, possibly different compile)."""
+
+    import tempfile
+
+    from bench import build_flagship
+    from difflexmm_tpu import serving
+
+    optimization, design = build_flagship(method="verlet_pallas")
+    live = jax.jit(jax.value_and_grad(optimization.objective_fn))
+    v_live, g_live = live(design)
+    jax.block_until_ready((v_live, g_live))
+
+    exported = serving.export_objective_and_grad(
+        optimization.objective_fn, design, platforms=("tpu", "cpu")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        served = serving.load_exported(
+            serving.save_exported(exported, Path(tmp) / "flagship.jaxex")
+        )
+        v_srv, g_srv = served(design)
+        jax.block_until_ready((v_srv, g_srv))
+
+    record["serving"] = {
+        "objective_rel_err_vs_live": abs(float(v_srv) - float(v_live))
+        / abs(float(v_live)),
+        "grad_rel_err_vs_live": _grad_rel_err(g_srv, g_live),
+        "artifact_bytes": len(exported.serialize()),
+        "platforms": list(exported.platforms),
+    }
+    return (
+        record["serving"]["objective_rel_err_vs_live"] < 1e-6
+        and record["serving"]["grad_rel_err_vs_live"] < 1e-6
+    )
+
+
 def tensile_oracle_f32(record):
     """The reference's physics oracle through the f32 TPU path."""
 
@@ -314,8 +353,9 @@ def main():
     ok_kagome = kagome_parity(record)
     ok_ckpt = verlet_ckpt_parity(record)
     ok_tensile = tensile_oracle_f32(record)
+    ok_serving = serving_roundtrip(record)
     record["ok"] = bool(
-        ok_flagship and ok_kagome and ok_ckpt and ok_tensile
+        ok_flagship and ok_kagome and ok_ckpt and ok_tensile and ok_serving
     )
     (REPO / "PARITY_TPU.json").write_text(json.dumps(record, indent=2))
     print(json.dumps(record, indent=2))
