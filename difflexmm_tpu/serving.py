@@ -8,9 +8,12 @@ problem setup, no retracing). This module wraps :mod:`jax.export` for that
 workflow:
 
 - :func:`export_fn` — lower a jitted framework function (an objective, a
-  ``value_and_grad``, a full ``solve``) for one or more target platforms
-  (``("tpu", "cpu")`` by default: the artifact built on a CPU dev box runs
-  unchanged on the serving TPU and vice versa).
+  ``value_and_grad``, a full ``solve``) for one or more target platforms.
+  Default: the current backend. Pass ``platforms=("tpu", "cpu")`` for an
+  artifact built on a CPU dev box that runs unchanged on the serving TPU
+  — valid for the XLA backends (``verlet``/``verlet_ckpt``/``rk4``);
+  programs containing fused Pallas kernels (``verlet_pallas``) lower for
+  TPU only, so export those with ``platforms=("tpu",)``.
 - :func:`save_exported` / :func:`load_exported` — byte-stable round trip
   to disk. Loading returns a plain callable on jax arrays; the original
   pytree structure of inputs/outputs (including the framework's NamedTuple
@@ -70,8 +73,9 @@ def export_fn(
     Args:
         fn: any jit-compatible framework function (already-jitted is fine).
         example_args: concrete arrays/pytrees fixing input shapes+dtypes.
-        platforms: lowering targets; default ``("tpu", "cpu")`` so one
-            artifact serves on TPU and still smoke-tests on a CPU host.
+        platforms: lowering targets; default = the current backend only.
+            Multi-platform (e.g. ``("tpu", "cpu")``) works for pure-XLA
+            programs; Pallas-kernel programs are TPU-only.
         static_argnums: forwarded to ``jax.jit`` for non-array arguments.
 
     Returns:
@@ -81,12 +85,12 @@ def export_fn(
     """
 
     _register_containers()
-    if platforms is None:
-        platforms = ("tpu", "cpu")
     jitted = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(
         fn, static_argnums=tuple(static_argnums)
     )
-    return jax_export.export(jitted, platforms=tuple(platforms))(*example_args)
+    return jax_export.export(
+        jitted, platforms=tuple(platforms) if platforms is not None else None
+    )(*example_args)
 
 
 def save_exported(exported, path: Union[str, Path]) -> Path:

@@ -204,8 +204,11 @@ def serving_roundtrip(record):
     v_live, g_live = live(design)
     jax.block_until_ready((v_live, g_live))
 
+    # TPU-only artifact: the flagship objective embeds the Mosaic kernel,
+    # which has no CPU lowering (XLA-backend methods export
+    # multi-platform; see serving.py docstring).
     exported = serving.export_objective_and_grad(
-        optimization.objective_fn, design, platforms=("tpu", "cpu")
+        optimization.objective_fn, design, platforms=("tpu",)
     )
     with tempfile.TemporaryDirectory() as tmp:
         served = serving.load_exported(
