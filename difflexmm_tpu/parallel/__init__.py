@@ -8,6 +8,7 @@ from difflexmm_tpu.parallel.domain import (  # noqa: F401
 from difflexmm_tpu.parallel.mesh import (  # noqa: F401
     CANDIDATE_AXIS,
     SCENARIO_AXIS,
+    init_distributed,
     make_mesh,
     replicated_sharding,
     scenario_sharding,

@@ -5,7 +5,19 @@ design candidates (multi-start), parameter sweeps — so the canonical mesh is
 1D over a "scenario" axis (optionally 2D scenario x candidate). Collectives
 are psum-reductions of weighted objectives and their gradients over ICI;
 there is no tensor/pipeline parallelism because a single simulation fits
-comfortably on one chip (reference: SURVEY.md section 2.5).
+comfortably on one chip (reference: SURVEY.md section 2.5). (For lattices
+that DON'T fit one chip, `parallel/domain.py` shards the block rows of a
+single simulation instead.)
+
+Scaling beyond one host: call :func:`init_distributed` once at program
+start on every host of the fleet, then build the mesh exactly as on one
+host — after ``jax.distributed.initialize`` the ``jax.devices()`` list
+spans all hosts, so :func:`make_mesh` returns a global mesh and the same
+``shard_map`` objectives run unchanged. The cross-host (DCN) traffic is
+only the psum of scalar objectives and design-sized gradients — a few KB
+per iteration for the flagship's 1,616 design variables — so sweep
+throughput scales essentially linearly with hosts; every simulation stays
+on its own chip and all heavy traffic stays on ICI.
 """
 
 from typing import Optional, Sequence, Tuple
@@ -17,6 +29,61 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SCENARIO_AXIS = "scenario"
 CANDIDATE_AXIS = "candidate"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host fleet (idempotent); returns ``jax.process_count()``.
+
+    On TPU pods all three arguments auto-detect from the environment; on
+    other platforms (or CPU rehearsal fleets) pass them explicitly. Safe to
+    call unconditionally: if the distributed runtime is already up (or this
+    is a deliberately single-process run and no coordinator is given), it
+    is a no-op. Call BEFORE the first device query — device lists are
+    cached at backend initialization.
+    """
+
+    if _distributed_client_up():
+        return jax.process_count()
+    kwargs = {
+        name: value
+        for name, value in (
+            ("coordinator_address", coordinator_address),
+            ("num_processes", num_processes),
+            ("process_id", process_id),
+        )
+        if value is not None
+    }
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as err:
+        # Idempotent re-entry (jax's message varies by version/timing).
+        if "already" not in str(err).lower() and not _distributed_client_up():
+            raise
+    except ValueError:
+        # Nothing to auto-detect and no explicit coordinator: a plain
+        # single-process run. Proceed with the local devices.
+        if kwargs:
+            raise
+    return jax.process_count()
+
+
+def _distributed_client_up() -> bool:
+    """True iff jax's distributed runtime is already initialized.
+
+    Best-effort introspection (the state object is internal; a jax upgrade
+    that moves it degrades this to False, in which case re-entry relies on
+    the RuntimeError message check above)."""
+
+    try:
+        from jax._src.distributed import global_state
+
+        return global_state.client is not None
+    except Exception:
+        return False
 
 
 def make_mesh(

@@ -1,5 +1,7 @@
 """Sharding tests on the 8-virtual-device CPU mesh."""
 
+from pathlib import Path
+
 import jax
 import pytest
 import jax.numpy as jnp
@@ -118,3 +120,40 @@ def test_multistart_map_and_update():
     assert new_xs.shape == xs.shape
     # Every candidate moved toward the optimum
     assert jnp.all(jnp.abs(new_xs - 3.0) < jnp.abs(xs - 3.0))
+
+
+def test_init_distributed_single_process_and_idempotent():
+    """A one-process 'fleet' must initialize, report process_count == 1,
+    build the same mesh as the plain path, and tolerate re-entry. Runs in a
+    subprocess: jax.distributed.initialize mutates process-global state."""
+
+    import subprocess
+    import sys as _sys
+
+    script = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {repo!r})
+from difflexmm_tpu.parallel import init_distributed, make_mesh
+
+n = init_distributed("localhost:12355", num_processes=1, process_id=0)
+assert n == 1, n
+assert init_distributed("localhost:12355", num_processes=1, process_id=0) == 1
+mesh = make_mesh()
+assert mesh.devices.size == len(jax.devices())
+print("DISTRIBUTED_OK")
+""".format(repo=str(Path(__file__).resolve().parents[1]))
+    result = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert "DISTRIBUTED_OK" in result.stdout, (result.stdout, result.stderr)
+
+
+def test_init_distributed_plain_run_is_noop():
+    """No coordinator and nothing to auto-detect -> proceed single-process
+    (must not raise in an already-running session)."""
+
+    from difflexmm_tpu.parallel import init_distributed
+
+    assert init_distributed() == jax.process_count()
