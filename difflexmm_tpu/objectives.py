@@ -40,6 +40,21 @@ def _corr_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.roll(circular, tuple(nb - 1 for nb in b.shape), axis=axes)
 
 
+def _pinned_index(n_a: int, n_b: int, lag: int, axis: int) -> int:
+    """Index of pinned ``lag`` on the full-correlation axis, bounds-checked.
+
+    Valid lags span ``[-(n_b - 1), n_a - 1]``; outside that the correlation
+    is identically zero, and Python's negative indexing would otherwise
+    silently WRAP an out-of-range request onto a large positive lag."""
+
+    if not -(n_b - 1) <= lag <= n_a - 1:
+        raise ValueError(
+            f"shift {lag} along axis {axis} is outside the valid lag range "
+            f"[{-(n_b - 1)}, {n_a - 1}] for signal lengths ({n_a}, {n_b})"
+        )
+    return n_b - 1 + lag
+
+
 def compute_xcorr2d(
     signal0: jnp.ndarray,
     signal1: jnp.ndarray,
@@ -60,7 +75,9 @@ def compute_xcorr2d(
     # (tests/test_objectives.py::test_xcorr).
     corr = _corr_full(signal0, signal1) / _corr_full(signal0, signal0).max()
     index = tuple(
-        slice(None) if lag is None else signal1.shape[axis] - 1 + lag
+        slice(None)
+        if lag is None
+        else _pinned_index(signal0.shape[axis], signal1.shape[axis], lag, axis)
         for axis, lag in enumerate(shift)
     )
     return corr[index]
@@ -70,7 +87,9 @@ def compute_xcorr(signal0: jnp.ndarray, signal1: jnp.ndarray, shift: Optional[in
     """1D cross-correlation normalized by signal0's autocorrelation peak."""
 
     corr = _corr_full(signal0, signal1) / _corr_full(signal0, signal0).max()
-    return corr if shift is None else corr[signal1.shape[0] - 1 + shift]
+    if shift is None:
+        return corr
+    return corr[_pinned_index(signal0.shape[0], signal1.shape[0], shift, 0)]
 
 
 def compute_max_xcorr2d_at_shift(

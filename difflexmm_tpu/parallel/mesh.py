@@ -20,6 +20,7 @@ throughput scales essentially linearly with hosts; every simulation stays
 on its own chip and all heavy traffic stays on ICI.
 """
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -64,10 +65,37 @@ def init_distributed(
         if "already" not in str(err).lower() and not _distributed_client_up():
             raise
     except ValueError:
-        # Nothing to auto-detect and no explicit coordinator: a plain
-        # single-process run. Proceed with the local devices.
+        # Nothing to auto-detect and no explicit coordinator. If this
+        # process shows signs of BEING part of a fleet (cluster env
+        # markers), degrading to single-process would be a silent
+        # split-brain — one host sweeping alone while the rest hang in
+        # collectives. Fail loudly there; otherwise it's a plain
+        # single-process run and we proceed with the local devices.
         if kwargs:
             raise
+        markers = [
+            name
+            for name in (
+                "SLURM_JOB_ID",
+                "OMPI_COMM_WORLD_SIZE",
+                "PMI_SIZE",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+                "CLOUD_TPU_TASK_ID",
+            )
+            if os.environ.get(name)
+        ]
+        # A single-hostname TPU_WORKER_HOSTNAMES is just a single-host
+        # attachment (this testbed sets it); only a multi-host list marks
+        # a fleet.
+        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+            markers.append("TPU_WORKER_HOSTNAMES")
+        if markers:
+            raise RuntimeError(
+                "jax.distributed auto-detection failed but cluster "
+                f"environment markers are present ({markers}); refusing to "
+                "fall back to single-process (split-brain risk). Pass "
+                "coordinator_address/num_processes/process_id explicitly."
+            )
     return jax.process_count()
 
 

@@ -85,9 +85,16 @@ def export_fn(
     """
 
     _register_containers()
-    jitted = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(
-        fn, static_argnums=tuple(static_argnums)
-    )
+    if isinstance(fn, jax.stages.Wrapped):
+        if static_argnums:
+            raise ValueError(
+                "static_argnums cannot be applied to an already-jitted "
+                "function (it would be silently ignored); pass the plain "
+                "function, or bake static_argnums into your own jax.jit."
+            )
+        jitted = fn
+    else:
+        jitted = jax.jit(fn, static_argnums=tuple(static_argnums))
     return jax_export.export(
         jitted, platforms=tuple(platforms) if platforms is not None else None
     )(*example_args)

@@ -88,7 +88,14 @@ def _node_dof(q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def _per_bond_params(bond_params: Dict[str, Any], n_bonds: int):
-    """Split kwargs into per-bond arrays (leading axis n_bonds) vs shared."""
+    """Split kwargs into per-bond arrays (leading axis n_bonds) vs shared.
+
+    Convention (same as the reference's jax-md smap.bond broadcast): an
+    array whose LEADING axis equals ``n_bonds`` is per-bond; anything else
+    is shared by all bonds. A genuinely shared array-valued kwarg whose
+    leading dim coincidentally equals n_bonds (e.g. a (2,)-vector on a
+    2-bond cell) would be mis-split — broadcast it to an explicit
+    ``(n_bonds, ...)`` per-bond array to disambiguate."""
 
     per_bond, shared = {}, {}
     for name, value in bond_params.items():
@@ -449,9 +456,12 @@ def group_velocity(
 def bz_grid(cell: BlochCell, n1: int, n2: int) -> jnp.ndarray:
     """Uniform Monkhorst-Pack-style sampling of the first Brillouin zone:
     ``(n1 * n2, 2)`` Cartesian wave vectors at fractional coordinates
-    ``((p + 1/2)/n1 - 1/2, (q + 1/2)/n2 - 1/2)`` of the reciprocal basis
-    (half-step offset avoids placing points exactly on Gamma or the zone
-    boundary)."""
+    ``((p + 1/2)/n1 - 1/2, (q + 1/2)/n2 - 1/2)`` of the reciprocal basis.
+    For EVEN n the half-step offset keeps points off Gamma and the zone
+    boundary; for odd n the center point lands exactly on Gamma, where the
+    acoustic ``omega^2`` are identically zero — :func:`frequencies`
+    handles those with zero (not NaN) design gradients, so DOS/band
+    objectives are safe on either parity."""
 
     b = reciprocal_basis(cell.direct_basis)
     f1 = (jnp.arange(n1) + 0.5) / n1 - 0.5
@@ -485,10 +495,19 @@ def density_of_states(
     return jnp.sum(g, axis=1) / n_k
 
 
-def frequencies(omega_sq: jnp.ndarray) -> jnp.ndarray:
-    """omega from omega^2, clipping the numerically-negative zero modes."""
+def frequencies(omega_sq: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """omega from omega^2, clipping the numerically-negative zero modes.
 
-    return jnp.sqrt(jnp.clip(omega_sq, 0.0))
+    Gradient-safe at zero: ``sqrt`` has an infinite derivative at 0, so a
+    rigid-body mode (acoustic band at Gamma — identically zero for every
+    design) would turn the WHOLE objective gradient into NaN via 0 * inf.
+    Eigenvalues at or below ``eps`` return omega = 0 with exactly zero
+    gradient, which is the correct derivative of the acoustic branch
+    there."""
+
+    x = jnp.clip(omega_sq, 0.0)
+    safe = jnp.where(x > eps, x, 1.0)
+    return jnp.where(x > eps, jnp.sqrt(safe), 0.0)
 
 
 def high_symmetry_path(

@@ -496,3 +496,22 @@ def test_point_defect_cavity_modes():
     f1 = np.sort(om_c[1][in_gap_c[1]])
     assert f0.shape == f1.shape
     np.testing.assert_allclose(f0, f1, atol=1e-2)
+
+
+def test_odd_bz_grid_contains_gamma_but_gradients_stay_finite():
+    """An odd-sized Monkhorst-Pack grid puts its center point exactly on
+    Gamma; the acoustic omega^2 there are identically zero and sqrt's
+    infinite slope would NaN the WHOLE design gradient via 0 * inf.
+    frequencies() must return zero gradient for those modes instead."""
+
+    cell = spring_chain_cell()
+    ks = bz_grid(cell, 3, 3)
+    assert float(jnp.min(jnp.linalg.norm(ks, axis=1))) < 1e-12  # Gamma included
+
+    def total_frequency(k_stretch):
+        c = cell._replace(bond_params=dict(cell.bond_params, k_stretch=k_stretch))
+        return jnp.sum(frequencies(band_structure(c, ks)))
+
+    grad = jax.grad(total_frequency)(1.0)
+    assert np.isfinite(float(grad))
+    assert float(grad) > 0.0  # stiffer chain -> higher bands

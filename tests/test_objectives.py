@@ -7,6 +7,7 @@ import difflexmm_tpu
 from difflexmm_tpu.objectives import (
     compute_space_time_xcorr,
     compute_xcorr,
+    compute_xcorr2d,
     kinetic_energy,
     angular_momentum,
 )
@@ -118,3 +119,22 @@ def test_spectral_dispersion_recovers_chain_band():
         ridge = omegas[mask][np.argmax(amp[mask, j])]
         analytic = 2.0 * abs(np.sin(ks[j] / 2.0))
         assert abs(ridge - analytic) < 2.0 * d_omega, (k_target, ridge, analytic)
+
+
+def test_xcorr_out_of_range_shift_raises():
+    """A pinned lag outside the valid range must raise, not wrap through
+    Python negative indexing onto a large positive lag."""
+
+    import numpy as np
+    import pytest
+
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(4, 5)))
+    with pytest.raises(ValueError, match="valid lag range"):
+        compute_xcorr2d(a, a, shift=(None, -6))
+    with pytest.raises(ValueError, match="valid lag range"):
+        compute_xcorr2d(a, a, shift=(4, None))
+    with pytest.raises(ValueError, match="valid lag range"):
+        compute_xcorr(a[0], a[1], shift=5)
+    # Boundary lags are legal.
+    assert np.isfinite(float(compute_xcorr(a[0], a[1], shift=4)))
+    assert np.isfinite(float(compute_xcorr(a[0], a[1], shift=-4)))
