@@ -61,8 +61,16 @@ def init_distributed(
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as err:
-        # Idempotent re-entry (jax's message varies by version/timing).
-        if "already" not in str(err).lower() and not _distributed_client_up():
+        # Two benign shapes: a repeated call ("already initialized"), and
+        # an argless call AFTER the backend came up in a plain
+        # single-process session (jax refuses to initialize late). Both
+        # no-op; anything else — including a too-late call on a host that
+        # looks like part of a fleet — re-raises.
+        if "already" in str(err).lower() or _distributed_client_up():
+            pass
+        elif not kwargs and not _fleet_markers():
+            pass
+        else:
             raise
     except ValueError:
         # Nothing to auto-detect and no explicit coordinator. If this
@@ -73,30 +81,37 @@ def init_distributed(
         # single-process run and we proceed with the local devices.
         if kwargs:
             raise
-        markers = [
-            name
-            for name in (
-                "SLURM_JOB_ID",
-                "OMPI_COMM_WORLD_SIZE",
-                "PMI_SIZE",
-                "MEGASCALE_COORDINATOR_ADDRESS",
-                "CLOUD_TPU_TASK_ID",
-            )
-            if os.environ.get(name)
-        ]
-        # A single-hostname TPU_WORKER_HOSTNAMES is just a single-host
-        # attachment (this testbed sets it); only a multi-host list marks
-        # a fleet.
-        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
-            markers.append("TPU_WORKER_HOSTNAMES")
-        if markers:
+        if _fleet_markers():
             raise RuntimeError(
                 "jax.distributed auto-detection failed but cluster "
-                f"environment markers are present ({markers}); refusing to "
-                "fall back to single-process (split-brain risk). Pass "
-                "coordinator_address/num_processes/process_id explicitly."
+                f"environment markers are present ({_fleet_markers()}); "
+                "refusing to fall back to single-process (split-brain "
+                "risk). Pass coordinator_address/num_processes/process_id "
+                "explicitly."
             )
     return jax.process_count()
+
+
+def _fleet_markers() -> list:
+    """Env-var evidence that this process belongs to a multi-host fleet."""
+
+    markers = [
+        name
+        for name in (
+            "SLURM_JOB_ID",
+            "OMPI_COMM_WORLD_SIZE",
+            "PMI_SIZE",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "CLOUD_TPU_TASK_ID",
+        )
+        if os.environ.get(name)
+    ]
+    # A single-hostname TPU_WORKER_HOSTNAMES is just a single-host
+    # attachment (this testbed sets it); only a multi-host list marks a
+    # fleet.
+    if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+        markers.append("TPU_WORKER_HOSTNAMES")
+    return markers
 
 
 def _distributed_client_up() -> bool:

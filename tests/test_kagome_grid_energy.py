@@ -80,6 +80,7 @@ def test_kagome_focusing_model_grid_parity():
         density=1.0, damping=0.02, amplitude=0.1, loading_rate=50.0,
         input_delay=0.0, n_excited_blocks=2, simulation_time=0.2,
         n_timepoints=5, n_substeps=8,
+        n_blocks_clamped_corner=1,  # clamps clear of driven rows on 4x4
     )
     design = KagomeGeometry(4, 4, bond_length=0.05).zero_design()
 

@@ -52,7 +52,10 @@ def main(out_dir: str = "/tmp/difflexmm_traces") -> None:
         jax.block_until_ready(values)
 
     # Phase 3: one full constrained MMA iteration (objective + ~4,400
-    # constraint jacobians + on-device dual solve).
+    # constraint jacobians + on-device dual solve). NOTE: unlike the other
+    # phases this one traces cold, so the timeline includes the constraint
+    # jacobians' XLA compilation (~2-3 min through the remote-compile
+    # tunnel); the steady-state iteration is ~0.3-0.5 s (bench_end_to_end).
     with trace("constrained MMA iteration", trace_dir=out / "mma"):
         optimization.run_optimization_mma(
             design, n_iterations=1,
