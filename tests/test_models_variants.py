@@ -311,3 +311,40 @@ def test_overlapping_driven_and_clamped_pairs_raise():
     design = ok.geometry.get_design_from_rotated_square(0.2)
     fields = ok.solve(design).fields
     assert float(jnp.abs(fields).max()) > 0.0
+
+
+def test_simulation_time_effect_f64_cross_eval_subprocess(tmp_path):
+    """The horizon study's f64 verification pass: the subprocess mode must
+    pin CPU+x64 BEFORE package imports (a late platform switch leaves the
+    Pallas method selected, whose f64 Mosaic lowering recurses) and print
+    one JSON line mapping horizon -> objective."""
+
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    script = repo / "examples" / "simulation_time_effect.py"
+
+    import examples.simulation_time_effect as ste
+    from difflexmm_tpu.utils import save_data
+
+    longest = ste.build(6, 4, ste.HORIZONS[-1], method="verlet")
+    design = longest.forward_problem.geometry.get_design_from_rotated_square(0.2)
+    pkl = tmp_path / "designs.pkl"
+    save_data(pkl, {h: design for h in ste.HORIZONS})
+
+    result = subprocess.run(
+        [_sys.executable, str(script), "--cross-eval-f64", str(pkl), "6x4", "2,8"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    values = json.loads(result.stdout.strip().splitlines()[-1])
+    assert set(values) == {"2", "8"}
+    for v in values.values():
+        assert np.isfinite(v)
+    # f64 eval of the same design/config matches the in-process f32/f64
+    # objective to solver accuracy.
+    ref = float(longest.objective_fn(design))
+    np.testing.assert_allclose(values["2"], ref, rtol=1e-6)
