@@ -327,8 +327,11 @@ class OptimizationRunnerMixin:
             move_limit=move_limit,
             mesh=mesh,
         )
+        # One (value, design) pair — histories stay index-aligned (the MMA
+        # runner's checkpoint/resume zips them); the full per-candidate,
+        # per-iteration curves live on the returned result.
         best_values = result.objective_values[:, result.best_index]
-        self.objective_values.extend(float(v) for v in best_values)
+        self.objective_values.append(float(best_values[-1]))
         self.design_values.append(unflatten(result.best_design))
         return result
 
@@ -363,7 +366,8 @@ class OptimizationRunnerMixin:
             upper_bound=upper_bound,
             callback=callback,
         )
-        self.compute_best_forward()
+        if self.design_values:  # zero-iteration runs have no best design
+            self.compute_best_forward()
         return result.design
 
     def compute_best_forward(self):

@@ -74,9 +74,9 @@ def _validate(mesh: Mesh, n1: int, n2: int) -> None:
 def domain_shard_solver(
     solve_fn: Callable,
     mesh: Mesh,
+    *,
     n1: int,
     n2: int,
-    *,
     jit: bool = True,
 ) -> Callable:
     """Wrap ``solve_dynamics(state0, timepoints, control_params)`` so the

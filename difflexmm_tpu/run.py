@@ -154,13 +154,20 @@ def main(argv=None) -> None:
     if method == "mma":
         best = target.run_optimization_mma(design0, **common, **optimize)
     elif method == "optax":
-        # The optax runner takes no checkpoint/metrics kwargs.
-        allowed = {
-            k: v for k, v in optimize.items()
-            if k in ("n_iterations", "lower_bound", "upper_bound")
-        }
+        # The optax runner has no constraint/checkpoint/wall-clock
+        # machinery — reject options it would silently drop.
+        supported = {"n_iterations", "lower_bound", "upper_bound"}
+        rejected = sorted(set(optimize) - supported)  # incl. max_seconds
+        if args.resume:
+            rejected.append("--resume")
+        if rejected:
+            raise SystemExit(
+                f"optimize.method 'optax' does not support {rejected}; "
+                "use method 'mma' (constraints, wall-clock cap, resume) or "
+                "remove these options."
+            )
         best = target.run_optimization_optax(
-            design0, verbose=not args.quiet, **allowed
+            design0, verbose=not args.quiet, **optimize
         )
     else:
         raise SystemExit(f"unknown optimize.method: {method!r}")
@@ -169,11 +176,15 @@ def main(argv=None) -> None:
     problem = getattr(target, "forward_problem", None)
     if problem is not None and problem.solution_data is not None:
         save_data(out / "best_solution.pkl", problem.solution_data)
-    print(
-        f"objective: {target.objective_values[0]:.4e} -> "
-        f"{target.objective_values[-1]:.4e} over "
-        f"{len(target.objective_values)} iterations; artifacts in {out}/"
-    )
+    if target.objective_values:
+        print(
+            f"objective: {target.objective_values[0]:.4e} -> "
+            f"{target.objective_values[-1]:.4e} over "
+            f"{len(target.objective_values)} iterations; artifacts in {out}/"
+        )
+    else:
+        print(f"no iterations ran (zero budget or immediate wall-clock "
+              f"expiry); artifacts in {out}/")
     return best
 
 

@@ -300,18 +300,47 @@ def setup_dynamic_solver(
             )
             n_user_args = 1 + len(example_args)
 
+            # Non-float closure constants would produce float0 cotangents
+            # the stored-state adjoint cannot accumulate — fail loudly at
+            # setup rather than deep inside the backward pass.
+            bad = [
+                str(jnp.asarray(c).dtype)
+                for c in closed.consts
+                if not jnp.issubdtype(jnp.asarray(c).dtype, jnp.floating)
+            ]
+            if bad:
+                raise TypeError(
+                    "A drive/loading closure used with the fused Pallas "
+                    f"backends captures non-float constants ({bad}); cast "
+                    "index/flag arrays to float inside the closure, or use "
+                    "method='verlet'."
+                )
+            # Store consts at the solve dtype, lifted to (1, 1) when rank-0
+            # (Mosaic cannot take rank-0 operands); `converted` restores the
+            # TRACED shape and dtype before re-evaluating the jaxpr, so the
+            # evaluation is always self-consistent with the trace (an f32
+            # solve quantizes f64 closure consts to f32 — the requested
+            # precision — rather than mixing dtypes mid-jaxpr).
+            traced = [(jnp.asarray(c).shape, jnp.asarray(c).dtype)
+                      for c in closed.consts]
+            consts = tuple(
+                jnp.asarray(c, dtype).reshape(
+                    (1, 1) if jnp.asarray(c).ndim == 0 else jnp.asarray(c).shape
+                )
+                for c in closed.consts
+            )
+
             def converted(t, *all_args):
                 args = all_args[: n_user_args - 1]
-                hoisted = all_args[n_user_args - 1:]
+                hoisted = [
+                    h.reshape(shape).astype(dt)
+                    for h, (shape, dt) in zip(
+                        all_args[n_user_args - 1:], traced
+                    )
+                ]
                 (out,) = jax.core.eval_jaxpr(closed.jaxpr, hoisted, t, *args)
                 return out
 
-            consts = tuple(
-                jnp.asarray(c, dtype)
-                if jnp.issubdtype(jnp.asarray(c).dtype, jnp.floating)
-                else jnp.asarray(c)
-                for c in closed.consts
-            )
             return converted, consts
 
         def _pallas_trajectory_for(
@@ -328,8 +357,21 @@ def setup_dynamic_solver(
             whose values carry the mesh with Auto axes — JAX raises
             "Mesh for all inputs should be equal" deep in the energy."""
 
+            def _sig(args):
+                return tuple(
+                    (tuple(jnp.shape(a)), str(jnp.result_type(a)))
+                    for a in args
+                )
+
+            # Keyed by params names AND their shapes/dtypes plus the solve
+            # dtype: the cached jaxpr + dtype-cast consts are only valid
+            # for the trace they were built under (an f32 solve followed by
+            # an f64 verification solve, or a re-shaped constraint param,
+            # must re-trace, not silently reuse f32 consts).
             cache_key = (
-                keys, lkeys, n_timepoints, jax.sharding.get_abstract_mesh()
+                keys, lkeys, n_timepoints, jax.sharding.get_abstract_mesh(),
+                str(jnp.dtype(dtype)), _sig(example_drive_args),
+                _sig(example_load_args or ()),
             )
             if cache_key not in _interval_cache:
                 def raw_drive(t, *args):
@@ -455,6 +497,9 @@ def setup_dynamic_solver(
         y0 = jnp.asarray(state0) * dof_set.free_mask
 
         if method in ("verlet_pallas", "verlet_ckpt"):
+            # One dtype everywhere: the drive jaxpr is traced at y0.dtype,
+            # so t fed to it outside the kernel must match too.
+            timepoints = jnp.asarray(timepoints).astype(y0.dtype)
             keys, lkeys, arrays = _pallas_arrays(
                 control_params, inertia, y0.dtype
             )

@@ -79,7 +79,7 @@ def _setup(method="verlet"):
 def test_domain_sharded_trajectory_matches_single_device():
     solve, control_params, state0, timepoints = _setup()
     mesh = domain_mesh(8)
-    sharded = domain_shard_solver(solve, mesh, N1, N2)
+    sharded = domain_shard_solver(solve, mesh, n1=N1, n2=N2)
 
     ref = jax.jit(solve)(state0, timepoints, control_params(1.0))
     out = sharded(state0, timepoints, control_params(1.0))
@@ -96,7 +96,7 @@ def test_domain_sharded_gradient_matches_single_device():
     solve, control_params, state0, timepoints = _setup(method="verlet_ckpt")
     mesh = domain_mesh(8)
     state_sh = domain_state_sharding(mesh)
-    sharded_solve = domain_shard_solver(solve, mesh, N1, N2, jit=False)
+    sharded_solve = domain_shard_solver(solve, mesh, n1=N1, n2=N2, jit=False)
 
     def objective(k, solve_fn):
         traj = solve_fn(state0, timepoints, control_params(k))
@@ -122,7 +122,7 @@ def test_domain_sharding_inserts_halo_exchange_not_allgather():
 
     solve, control_params, state0, timepoints = _setup()
     mesh = domain_mesh(8)
-    sharded = domain_shard_solver(solve, mesh, N1, N2)
+    sharded = domain_shard_solver(solve, mesh, n1=N1, n2=N2)
     text = sharded.lower(state0, timepoints, control_params(1.0)).compile().as_text()
     assert "collective-permute" in text
 
@@ -174,7 +174,7 @@ def test_domain_sharded_kagome_matches_single_device():
     timepoints = jnp.linspace(0.0, 1.0, 5)
 
     mesh = domain_mesh(8)
-    sharded = domain_shard_solver(solve, mesh, n1, n2)
+    sharded = domain_shard_solver(solve, mesh, n1=n1, n2=n2)
     ref = jax.jit(solve)(state0, timepoints, cp)
     out = sharded(state0, timepoints, cp)
 
@@ -187,4 +187,4 @@ def test_domain_sharding_rejects_misaligned_rows():
     solve, control_params, state0, timepoints = _setup()
     mesh = domain_mesh(8)
     with pytest.raises(ValueError, match="divide evenly"):
-        domain_shard_solver(solve, mesh, N1, 6)
+        domain_shard_solver(solve, mesh, n1=N1, n2=6)

@@ -252,7 +252,9 @@ def test_model_level_multistart_mma():
     )
     assert result.objective_values.shape == (2, 3)
     assert jnp.all(jnp.isfinite(result.objective_values))
-    assert len(opt.objective_values) == 2
+    # Histories stay index-aligned: ONE (value, design) pair per
+    # multistart call; full curves live on the result.
+    assert len(opt.objective_values) == 1
     assert len(opt.design_values) == 1
     solution = opt.compute_best_forward()
     assert jnp.all(jnp.isfinite(solution.fields))

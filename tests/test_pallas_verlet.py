@@ -321,3 +321,99 @@ def test_ragged_chunking_bit_exact():
     g_one = jax.grad(objective(solve_one))(1.0)
     g_ragged = jax.grad(objective(solve_ragged))(1.0)
     assert jnp.array_equal(g_ragged, g_one)
+
+
+def test_trajectory_cache_retraces_on_param_shape_change():
+    """The drive-jaxpr cache is keyed by constraint-param shapes/dtypes
+    (not just names): re-solving with a per-pair amplitude VECTOR after a
+    scalar amplitude must re-trace, not re-evaluate the scalar-traced
+    jaxpr with wrongly-shaped inputs. Values checked against the XLA
+    verlet path for both shapes."""
+
+    solve, state0, timepoints, cp, _, _ = _setup(
+        "verlet_pallas", pallas_interpret=True
+    )
+    ref_solve, *_ = _setup("verlet")
+
+    out_scalar = solve(state0, timepoints, cp)
+    # atol per the poly-atan2 drift (test_pallas_interval_matches_verlet).
+    np.testing.assert_allclose(
+        np.asarray(out_scalar),
+        np.asarray(ref_solve(state0, timepoints, cp)),
+        atol=1e-6,
+    )
+
+    # Per-driven-pair amplitudes (ramp across the strip) — same param NAME,
+    # different shape.
+    n_pairs = 6  # 2 driven blocks x 3 DOFs
+    amp_vec = jnp.linspace(0.05, 0.15, n_pairs)
+    cp_vec = cp._replace(
+        constraint_params=dict(cp.constraint_params, amplitude=amp_vec)
+    )
+    out_vec = solve(state0, timepoints, cp_vec)
+    np.testing.assert_allclose(
+        np.asarray(out_vec),
+        np.asarray(ref_solve(state0, timepoints, cp_vec)),
+        atol=1e-6,
+    )
+    assert not np.allclose(np.asarray(out_vec), np.asarray(out_scalar))
+
+
+def test_rank0_and_int_closure_consts():
+    """Drive closures capturing a rank-0 float constant work (lifted to
+    (1,1) for Mosaic and restored for the jaxpr); non-float constants fail
+    loudly at setup instead of crashing the adjoint with float0."""
+
+    geo = QuadGeometry(5, 4, 1.0, 0.1)
+    bc, cnv, bonds, rbv = geo.get_parametrization()
+    design = geo.get_design_from_rotated_square(0.2)
+    driven_pairs, drive_mask = base.driven_side_pairs(5, 4, 2, "left")
+    drive_vector = jnp.asarray(drive_mask)
+    omega = jnp.asarray(3.0)  # rank-0 closure constant
+
+    def drive(t, amplitude):
+        return amplitude * jnp.sin(omega * t) * drive_vector
+
+    from difflexmm_tpu.ops.grid import build_quad_grid_energy
+
+    common = dict(
+        geometry=geo,
+        energy_fn=build_quad_grid_energy(5, 4, ligament_energy),
+        constrained_block_DOF_pairs=driven_pairs,
+        damped_blocks=np.arange(geo.n_blocks),
+        method="verlet_pallas",
+        n_substeps=6,
+        quad_grid=dict(n1=5, n2=4, linearized=False),
+        pallas_interpret=True,
+    )
+    solve = setup_dynamic_solver(constrained_DOFs_fn=drive, **common)
+    solve_ref = setup_dynamic_solver(
+        constrained_DOFs_fn=drive,
+        **{**common, "method": "verlet", "quad_grid": None,
+           "pallas_interpret": False},
+    )
+    cp = ControlParams(
+        geometrical_params=GeometricalParams(bc(*design), cnv(*design)),
+        mechanical_params=MechanicalParams(
+            bond_params=LigamentParams(1.0, 0.02, 1e-3, rbv()),
+            density=1.0, damping=0.05,
+            contact_params=ContactParams(0.0, jnp.deg2rad(5.0), 1.0),
+        ),
+        constraint_params=dict(amplitude=0.1),
+    )
+    timepoints = jnp.linspace(0.0, 1.0, 5)
+    state0 = jnp.zeros((2, geo.n_blocks, 3))
+    out = solve(state0, timepoints, cp)
+    ref = solve_ref(state0, timepoints, cp)
+    # atol per the poly-atan2 drift inside the kernel.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # Non-float const: loud setup error, not a float0 crash in the vjp.
+    flags = jnp.arange(len(drive_mask))  # int array captured by closure
+
+    def bad_drive(t, amplitude):
+        return amplitude * t * drive_vector * (flags >= 0)
+
+    solve_bad = setup_dynamic_solver(constrained_DOFs_fn=bad_drive, **common)
+    with pytest.raises(TypeError, match="non-float constants"):
+        solve_bad(state0, timepoints, cp)

@@ -84,3 +84,27 @@ def test_cli_rejects_structured_families(tmp_path):
     config_path.write_text(json.dumps({"problem": "quads_static_tuning"}))
     with pytest.raises(SystemExit, match="not CLI-drivable"):
         cli.main([str(config_path), "--out", str(tmp_path / "out")])
+
+
+def test_cli_zero_iteration_wall_clock_expiry(tmp_path):
+    """--max-seconds 0 expires before iteration 0: the runner stops
+    gracefully and the CLI must not crash printing an empty history."""
+
+    config_path = tmp_path / "config.json"
+    config_path.write_text(json.dumps(_tiny_focusing_config()))
+    out = tmp_path / "out"
+
+    cli.main([str(config_path), "--out", str(out), "--quiet",
+              "--max-seconds", "0"])
+    assert (out / "optimization.pkl").exists()
+
+
+def test_cli_optax_rejects_unsupported_options(tmp_path):
+    """optax has no constraint/wall-clock machinery; silently dropping
+    those options would run an unconstrained unbounded job — reject."""
+
+    config = _tiny_focusing_config(method="optax")
+    config_path = tmp_path / "config.json"
+    config_path.write_text(json.dumps(config))
+    with pytest.raises(SystemExit, match="does not support"):
+        cli.main([str(config_path), "--out", str(tmp_path / "out")])
