@@ -13,8 +13,9 @@ All design maps are pure jnp functions of the design variables (static
 shapes, jit/vmap/grad-friendly); connectivity is static host data.
 """
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from difflexmm_tpu.geometry.polygon import compute_xy_limits
@@ -101,11 +102,16 @@ class LatticeGeometry(Geometry):
         n1_cells: int,
         n2_cells: int,
         n_bpc: int,
-        direct_basis: jnp.ndarray = jnp.eye(2),
+        # Optional-with-numpy-fallback: a jnp.eye default would create a
+        # device array at import time, committing the backend before
+        # callers can pin a platform.
+        direct_basis: Optional[jnp.ndarray] = None,
     ):
         self.n1_cells = n1_cells
         self.n2_cells = n2_cells
         self.n_bpc = n_bpc
         self.n_cells = n1_cells * n2_cells
         self.n_blocks = self.n_cells * n_bpc
-        self.direct_basis = direct_basis
+        self.direct_basis = (
+            direct_basis if direct_basis is not None else np.eye(2)
+        )

@@ -20,7 +20,9 @@ from difflexmm_tpu.geometry.base import LatticeGeometry
 from difflexmm_tpu.geometry.polygon import polygon_centroid
 
 
-_DEFAULT_BASIS = jnp.array([[1.0, 0.0], [jnp.cos(jnp.pi / 3), jnp.sin(jnp.pi / 3)]])
+# numpy, not jnp: a module-level device array would commit the JAX
+# backend at import time, before callers can pin a platform.
+_DEFAULT_BASIS = np.array([[1.0, 0.0], [np.cos(np.pi / 3), np.sin(np.pi / 3)]])
 
 
 def _kagome_bond_data(n1: int, n2: int, bond_length: float):

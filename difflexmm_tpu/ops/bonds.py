@@ -14,6 +14,7 @@ one branch-free wrap.
 
 from typing import Tuple
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -23,13 +24,18 @@ def vdot(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(v1 * v2, axis=-1)
 
 
+# numpy, not jnp: a jnp default would create a device array at import
+# time, committing the backend before callers can pin a platform.
+_UNIT_X = np.array([1.0, 0.0])
+
+
 def _cross2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
 
 
 def simple_spring_energy(
     nodal_DOFs: Tuple[jnp.ndarray, jnp.ndarray],
-    reference_vector: jnp.ndarray = jnp.array([1.0, 0.0]),
+    reference_vector: jnp.ndarray = _UNIT_X,
     k_stretch=1.0,
 ) -> jnp.ndarray:
     """Linear spring on the bond length change, per bond."""
@@ -55,7 +61,7 @@ def stretching_torsional_spring_energy(
 def ligament_strains_linearized(
     DOFs1: jnp.ndarray,
     DOFs2: jnp.ndarray,
-    reference_vector: jnp.ndarray = jnp.array([1.0, 0.0]),
+    reference_vector: jnp.ndarray = _UNIT_X,
 ):
     """Linearized beam strains (axial, shear, rotational), per bond.
 
@@ -76,7 +82,7 @@ def ligament_strains_linearized(
 def ligament_strains(
     DOFs1: jnp.ndarray,
     DOFs2: jnp.ndarray,
-    reference_vector: jnp.ndarray = jnp.array([1.0, 0.0]),
+    reference_vector: jnp.ndarray = _UNIT_X,
 ):
     """Nonlinear (finite-rotation) beam strains, per bond.
 
@@ -118,7 +124,7 @@ def _ligament_energy_from_strains(axial, shear, dRot, reference_vector,
 
 def ligament_energy_linearized(
     nodal_DOFs: Tuple[jnp.ndarray, jnp.ndarray],
-    reference_vector: jnp.ndarray = jnp.array([1.0, 0.0]),
+    reference_vector: jnp.ndarray = _UNIT_X,
     k_stretch=1.0,
     k_shear=1.0,
     k_rot=1.0,
@@ -135,7 +141,7 @@ def ligament_energy_linearized(
 
 def ligament_energy(
     nodal_DOFs: Tuple[jnp.ndarray, jnp.ndarray],
-    reference_vector: jnp.ndarray = jnp.array([1.0, 0.0]),
+    reference_vector: jnp.ndarray = _UNIT_X,
     k_stretch=1.0,
     k_shear=1.0,
     k_rot=1.0,

@@ -12,6 +12,7 @@ Behavioral parity: reference difflexmm/energy.py:200-407 (barrier form at
 cutoff at ``cutoff_angle``; outside (min_angle, cutoff_angle) it is zero.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from difflexmm_tpu.geometry.edges import compute_edge_angles
@@ -99,8 +100,11 @@ def build_void_edge_distance(bond_connectivity: jnp.ndarray):
 
 def contact_energy(
     current_void_angles: jnp.ndarray,
-    min_angle=jnp.array(0.0),
-    cutoff_angle=jnp.array(2.0 * jnp.pi / 180),
+    # Plain-float defaults: jnp defaults would create device arrays AT
+    # IMPORT TIME, committing the backend before callers can pin a
+    # platform (jax.config platform updates only work before first use).
+    min_angle=0.0,
+    cutoff_angle=2.0 * np.pi / 180,
     k_contact=1.0,
 ) -> jnp.ndarray:
     """C^1 ~1/x barrier with asymptote at min_angle, zero beyond cutoff.

@@ -130,19 +130,13 @@ def build_viscous_damping(
     """
 
     del constrained_block_DOF_pairs
-    n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
-    damped = np.asarray(damped_blocks, dtype=np.int64).reshape(-1)
-    mask = np.zeros((n_blocks, 1))
-    mask[damped] = 1.0
-    mask = jnp.asarray(mask)
-    damped_idx = jnp.asarray(damped, dtype=jnp.int32)
-    n_damped = len(damped)
+    # One scatter definition: reuse the coefficient builder so the two
+    # damping entry points (force-style here, implicit-Verlet coefficients
+    # there) can never drift apart.
+    coefficients = build_damping_coefficients(geometry, damped_blocks)
 
     def damping_fn(state, t, damping) -> jnp.ndarray:
         _, velocity = state
-        coeffs = jnp.broadcast_to(jnp.asarray(damping), (n_damped, 3))
-        dense = jnp.zeros((n_blocks, 3), dtype=coeffs.dtype)
-        dense = dense.at[damped_idx].add(coeffs)
-        return -dense * velocity
+        return -coefficients(damping) * velocity
 
     return damping_fn

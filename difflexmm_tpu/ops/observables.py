@@ -3,6 +3,7 @@
 Behavioral parity: reference difflexmm/energy.py:494-534.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from difflexmm_tpu.ops.bonds import ligament_strains
@@ -19,7 +20,8 @@ def angular_momentum(
     block_position: jnp.ndarray,
     block_velocity: jnp.ndarray,
     inertia: jnp.ndarray,
-    reference_point: jnp.ndarray = jnp.array([0.0, 0.0]),
+    # numpy, not jnp: a jnp default would initialize the backend at import
+    reference_point: jnp.ndarray = np.array([0.0, 0.0]),
 ) -> jnp.ndarray:
     """Per-block angular momentum about ``reference_point``, (n_blocks,)."""
 

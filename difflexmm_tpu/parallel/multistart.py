@@ -25,7 +25,7 @@ from difflexmm_tpu.parallel.mesh import SCENARIO_AXIS, make_mesh
 
 
 class MultistartResult(NamedTuple):
-    designs: any          # batched pytree of final designs
+    designs: any          # batched pytree: last EVALUATED iterate per candidate
     objective_values: any  # (n_iterations, n_candidates)
     best_index: any
     best_design: any
@@ -88,20 +88,30 @@ def run_multistart_optax(
     @jax.jit
     def sweep(designs, opt_states):
         def iteration(carry, _):
-            designs, opt_states = carry
-            designs, opt_states, values = batched_step(designs, opt_states)
-            return (designs, opt_states), values
+            designs, opt_states, _ = carry
+            new_designs, opt_states, values = batched_step(designs, opt_states)
+            # Keep the iterate the values were EVALUATED at: the final
+            # update's proposal was never evaluated, so returning it would
+            # pair designs with another iterate's objectives (and a last
+            # step outside the solver's stability region would go
+            # unnoticed). Mirrors run_mma's convention.
+            return (new_designs, opt_states, designs), values
 
-        (designs, opt_states), values = jax.lax.scan(
-            iteration, (designs, opt_states), None, length=n_iterations
+        (_, _, evaluated), values = jax.lax.scan(
+            iteration, (designs, opt_states, designs), None,
+            length=n_iterations,
         )
-        return designs, values
+        return evaluated, values
 
     opt_states = jax.vmap(optimizer.init)(initial_designs)
     designs, values = sweep(initial_designs, opt_states)
 
     final = values[-1]
-    best = jnp.argmax(final) if maximize else jnp.argmin(final)
+    # A diverged (NaN) candidate must never rank best.
+    ranked = jnp.where(
+        jnp.isfinite(final), final, -jnp.inf if maximize else jnp.inf
+    )
+    best = jnp.argmax(ranked) if maximize else jnp.argmin(ranked)
     best_design = jax.tree.map(lambda d: d[best], designs)
     return MultistartResult(designs, values, best, best_design)
 

@@ -282,7 +282,12 @@ def setup_arclength_solver(
 
         J = jac_u(u_flat, lam, control_params)
         S = -(J + J.T) / 2.0
-        return jnp.linalg.eigvalsh(S)[0]
+        # Diagnostic only: stop_gradient keeps eigvalsh off the reverse-AD
+        # path of the traced scan (its eigh-based JVP divides by eigenvalue
+        # gaps — a degenerate pair on a symmetric lattice would NaN the
+        # design gradient of the WHOLE path through inf * 0) and saves the
+        # O(n^3) eigendecomposition transpose per step.
+        return jnp.linalg.eigvalsh(jax.lax.stop_gradient(S))[0]
 
     def trace_path(
         u0,

@@ -24,10 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from difflexmm_tpu.ops.assembly import constrain_energy
-from difflexmm_tpu.ops.kinematics import build_constrained_kinematics
 from difflexmm_tpu.ops.loading import build_damping_coefficients
-from difflexmm_tpu.solver.dynamics import _resolve_inertia
+from difflexmm_tpu.solver.modal import reduced_stiffness_inertia
 from difflexmm_tpu.utils.types import ControlParams
 
 _EMPTY_PAIRS = np.zeros((0, 2), dtype=np.int64)
@@ -42,6 +40,8 @@ def harmonic_response(
     omegas: jnp.ndarray,
     constrained_block_DOF_pairs=_EMPTY_PAIRS,
     damped_blocks=None,
+    constrained_DOFs_fn=None,
+    t=0.0,
 ) -> jnp.ndarray:
     """Complex steady-state displacement per drive frequency.
 
@@ -64,17 +64,14 @@ def harmonic_response(
     """
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
-    kinematics = build_constrained_kinematics(
-        n_blocks, constrained_block_DOF_pairs=constrained_block_DOF_pairs
+    # Shared linearization front end with linear_mode_analysis — incl. the
+    # driven-state kwargs, so harmonic response about a statically driven
+    # equilibrium composes exactly like tangent modes do.
+    K, m, free_idx, _ = reduced_stiffness_inertia(
+        displacement, n_blocks, energy_fn, control_params,
+        constrained_block_DOF_pairs=constrained_block_DOF_pairs,
+        constrained_DOFs_fn=constrained_DOFs_fn, t=t,
     )
-    dof_set = kinematics.dof_set
-    constrained_energy = constrain_energy(energy_fn, kinematics)
-
-    u0 = jnp.asarray(displacement).reshape(n_blocks, 3) * dof_set.free_mask
-    K_full = jax.hessian(constrained_energy)(u0, 0.0, control_params).reshape(
-        3 * n_blocks, 3 * n_blocks
-    )
-    inertia = _resolve_inertia(control_params).reshape(-1)
 
     if damped_blocks is not None:
         damping_coeffs = build_damping_coefficients(n_blocks, damped_blocks)(
@@ -82,10 +79,6 @@ def harmonic_response(
         ).reshape(-1)
     else:
         damping_coeffs = jnp.zeros(3 * n_blocks)
-
-    free_idx = np.where(np.asarray(dof_set.free_mask).reshape(-1) > 0)[0]
-    K = K_full[jnp.ix_(free_idx, free_idx)]
-    m = inertia[free_idx]
     c = damping_coeffs[free_idx]
     f = jnp.asarray(forcing).reshape(-1)[free_idx]
 

@@ -21,26 +21,23 @@ from difflexmm_tpu.utils.types import ControlParams, EigenmodeData
 _EMPTY_PAIRS = np.zeros((0, 2), dtype=np.int64)
 
 
-def linear_mode_analysis(
-    displacement: jnp.ndarray,
+def reduced_stiffness_inertia(
+    displacement,
     geometry,
     energy_fn,
     control_params: ControlParams,
     constrained_block_DOF_pairs=_EMPTY_PAIRS,
     constrained_DOFs_fn=None,
     t=0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Eigenfrequencies (squared) and mode shapes about ``displacement``.
+):
+    """Free-DOF-reduced tangent stiffness about a (possibly driven) state.
 
-    ``constrained_DOFs_fn`` / ``t`` set the driven-DOF values the tangent
-    stiffness is evaluated at — pass the same drive and load-path parameter
-    used to reach a statically deformed state (e.g. from
-    :func:`difflexmm_tpu.solver.statics.setup_static_solver`) to get tangent
-    modes about that equilibrium; the default is the undriven configuration.
+    The shared linearization front end of modal analysis and the
+    frequency-domain harmonic response: constrained kinematics ->
+    constrained-energy Hessian -> free-index reduction.
 
     Returns:
-        (eigenvalues (n_free,), modes (n_free, n_blocks, 3)); modes are
-        normalized to unit Euclidean norm and zero on constrained DOFs.
+        (K (n_free, n_free), m (n_free,), free_idx (n_free,), dof_set).
     """
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
@@ -66,6 +63,37 @@ def linear_mode_analysis(
     free_idx = np.where(np.asarray(dof_set.free_mask).reshape(-1) > 0)[0]
     K = K_full[jnp.ix_(free_idx, free_idx)]
     m = inertia[free_idx]
+    return K, m, free_idx, dof_set
+
+
+def linear_mode_analysis(
+    displacement: jnp.ndarray,
+    geometry,
+    energy_fn,
+    control_params: ControlParams,
+    constrained_block_DOF_pairs=_EMPTY_PAIRS,
+    constrained_DOFs_fn=None,
+    t=0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigenfrequencies (squared) and mode shapes about ``displacement``.
+
+    ``constrained_DOFs_fn`` / ``t`` set the driven-DOF values the tangent
+    stiffness is evaluated at — pass the same drive and load-path parameter
+    used to reach a statically deformed state (e.g. from
+    :func:`difflexmm_tpu.solver.statics.setup_static_solver`) to get tangent
+    modes about that equilibrium; the default is the undriven configuration.
+
+    Returns:
+        (eigenvalues (n_free,), modes (n_free, n_blocks, 3)); modes are
+        normalized to unit Euclidean norm and zero on constrained DOFs.
+    """
+
+    n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
+    K, m, free_idx, _ = reduced_stiffness_inertia(
+        displacement, n_blocks, energy_fn, control_params,
+        constrained_block_DOF_pairs=constrained_block_DOF_pairs,
+        constrained_DOFs_fn=constrained_DOFs_fn, t=t,
+    )
 
     inv_sqrt_m = 1.0 / jnp.sqrt(m)
     K_sym = K * inv_sqrt_m[:, None] * inv_sqrt_m[None, :]

@@ -183,10 +183,10 @@ def setup_static_solver(
 
     def _solve_free_fwd(free0, t, control_params):
         free_star = _newton(free0, t, control_params)
-        return free_star, (free_star, t, control_params)
+        return free_star, (free0, free_star, t, control_params)
 
     def _solve_free_bwd(res, cotangent):
-        free_star, t, control_params = res
+        free0, free_star, t, control_params = res
         A = newton_matrix(free_star.reshape(-1), t, control_params)
         cot = (cotangent * free_mask).reshape(-1)
         lam = jnp.linalg.solve(A.T, cot)
@@ -196,8 +196,9 @@ def setup_static_solver(
             lambda tt, cp: residual(free_star, tt, cp), t, control_params
         )
         t_bar, cp_bar = vjp_fn(-lam.reshape(n_blocks, 3))
-        # Equilibrium does not depend on the initial guess.
-        return jnp.zeros_like(free_star), t_bar, cp_bar
+        # Equilibrium does not depend on the initial guess; the cotangent
+        # must match the GUESS's aval (callers may pass a flat vector).
+        return jnp.zeros_like(free0), t_bar, cp_bar
 
     _solve_free.defvjp(_solve_free_fwd, _solve_free_bwd)
 

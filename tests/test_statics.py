@@ -346,3 +346,39 @@ def test_stalled_newton_returns_nan_not_initial_guess():
     )
     u_raw = solve_raw(jnp.zeros((geo.n_blocks, 3)), 1.0, cp)
     assert bool(jnp.all(jnp.isfinite(u_raw)))
+
+
+def test_gradient_with_flat_initial_guess():
+    """The custom-vjp guess cotangent must match the GUESS's aval: a flat
+    (3*n_blocks,) guess (any reshapeable form is accepted forward) used
+    under jax.grad previously crashed with a bwd shape mismatch."""
+
+    geo = RotatedSquareGeometry(3, 2, spacing=1.0, bond_length=0.1)
+    bc, cnv, bonds, rbv = geo.get_parametrization()
+    energy = build_strain_energy(bonds(), ligament_energy)
+    pairs = np.array([[b, d] for b in range(0, geo.n_blocks, geo.n1_blocks)
+                      for d in range(3)])
+    loaded = np.array([[geo.n_blocks - 1, 0]])
+    solve = setup_static_solver(
+        geo, energy,
+        loaded_block_DOF_pairs=loaded,
+        loading_fn=lambda state, t, **kw: 0.02,
+        constrained_block_DOF_pairs=pairs,
+    )
+
+    def objective(angle):
+        cp = ControlParams(
+            geometrical_params=GeometricalParams(bc(angle), cnv(angle)),
+            mechanical_params=MechanicalParams(
+                bond_params=LigamentParams(1.0, 0.3, 0.05, rbv()),
+                density=1.0,
+                damping=0.0,
+            ),
+            constraint_params=dict(),
+        )
+        u = solve(jnp.zeros(3 * geo.n_blocks), 0.0, cp)  # FLAT guess
+        return jnp.sum(u[:, :2] ** 2)
+
+    value, grad = jax.value_and_grad(objective)(0.2)
+    assert np.isfinite(float(value)) and np.isfinite(float(grad))
+    assert abs(float(grad)) > 0
