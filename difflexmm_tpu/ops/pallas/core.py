@@ -143,6 +143,14 @@ def make_force_fn(
 
     off = _tail_offsets(load_values_fn is not None)
 
+    def _expand_to(planes, ndim):
+        # Scattered (C, n2, n1) planes broadcast against tiled (C, *lead,
+        # n2, n1) states by inserting the missing middle dims (the drive is
+        # shared across the tiled B1 copies).
+        while planes.ndim < ndim:
+            planes = planes[:, None]
+        return planes
+
     def force(U_free, t, arrays):
         fixed = arrays[:n_fixed]
         drive_args = arrays[n_fixed]
@@ -156,14 +164,18 @@ def make_force_fn(
                 S_chan, S_row, S_col,
                 drive_values_fn(t, *drive_args).reshape(-1),
             )
-            return energy_of(Uf * free_mask + drive, fixed)
+            return energy_of(
+                Uf * free_mask + _expand_to(drive, Uf.ndim), fixed
+            )
 
         f = -jax.grad(energy)(U_free)
         if load_values_fn is not None:
             L_chan, L_row, L_col = fixed[-3], fixed[-2], fixed[-1]
             load_args = arrays[n_fixed + 1]
             load = load_values_fn(t, *load_args).reshape(-1)
-            f = f + apply_scatter(L_chan, L_row, L_col, load)
+            f = f + _expand_to(
+                apply_scatter(L_chan, L_row, L_col, load), f.ndim
+            )
         return f
 
     return force
@@ -250,6 +262,7 @@ def build_verlet_trajectory(
     interpret: bool = False,
     chunk: Optional[int] = None,
     forward_impl: str = "pallas",
+    backward_impl: str = "xla",
 ):
     """Chunked whole-trajectory fused kernel.
 
@@ -283,6 +296,8 @@ def build_verlet_trajectory(
             shared.
     """
 
+    if backward_impl not in ("xla", "pallas"):
+        raise ValueError(f"backward_impl={backward_impl!r}: 'xla' or 'pallas'")
     T = n_timepoints
     n_int = T - 1
     has_loading = load_values_fn is not None

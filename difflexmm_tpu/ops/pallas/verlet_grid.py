@@ -112,21 +112,32 @@ def _angle(ax, ay, bx, by):
 
 
 def quad_grid_energy_planes(
-    U,  # (3, n2, n1): ux, uy, theta
-    cnv,  # (4, 2, n2, n1)
-    centroids,  # (2, n2, n1)
-    ref_h, ref_v,  # (2, n2, n1-1), (2, n2-1, n1)
+    U,  # (3, *lead, n2, n1): ux, uy, theta
+    cnv,  # (4, 2, *lead, n2, n1)
+    centroids,  # (2, *lead, n2, n1)
+    ref_h, ref_v,  # (2, *lead, n2, n1-1), (2, *lead, n2-1, n1)
     ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
     cmin, ccut, kc,
     linearized: bool = False,
     use_contact: bool = True,
     include_strain: bool = True,
+    h_contact_mask=None,
 ):
     """Total strain (+ contact) energy of the quad lattice on planes.
 
     Same physics as ops/grid.py:quad_grid_energy_core, in SoA layout.
     ``include_strain=False`` returns the contact term alone (used to split
     the gradient graph when register pressure matters).
+
+    Slicing is ellipsis-based on the trailing (n2, n1) pair, so planes may
+    carry extra leading dims. The design-tiled batched layout
+    (ops/pallas/tiling.py) uses this: ``B2`` independent designs side by
+    side along the lane (n1) axis and ``B1`` along an extra leading dim —
+    bonds crossing a lane seam get zero stiffness and a safe (1, 0)
+    reference vector from the tiler, and ``h_contact_mask`` (broadcastable
+    to the horizontal void-angle planes (*lead, n2, n1-1)) zeroes the
+    seam-crossing contact barrier. Vertical bonds never cross designs (the
+    B1 copies live in a separate leading dim), so no vertical mask exists.
     """
 
     ux, uy, th = U[0], U[1], U[2]
@@ -139,17 +150,17 @@ def quad_grid_energy_planes(
     energy = 0.0
     if include_strain:
         # Horizontal bonds: corner 0 of (j, i) -> corner 2 of (j, i+1).
-        hUx = dx[2][:, 1:] - dx[0][:, :-1]
-        hUy = dy[2][:, 1:] - dy[0][:, :-1]
+        hUx = dx[2][..., 1:] - dx[0][..., :-1]
+        hUy = dy[2][..., 1:] - dy[0][..., :-1]
         e_h = _ligament_planes(
-            hUx, hUy, th[:, :-1], th[:, 1:], ref_h[0], ref_h[1],
+            hUx, hUy, th[..., :-1], th[..., 1:], ref_h[0], ref_h[1],
             ks_h, ksh_h, kr_h, linearized,
         )
         # Vertical bonds: corner 1 of (j, i) -> corner 3 of (j+1, i).
-        vUx = dx[3][1:, :] - dx[1][:-1, :]
-        vUy = dy[3][1:, :] - dy[1][:-1, :]
+        vUx = dx[3][..., 1:, :] - dx[1][..., :-1, :]
+        vUy = dy[3][..., 1:, :] - dy[1][..., :-1, :]
         e_v = _ligament_planes(
-            vUx, vUy, th[:-1, :], th[1:, :], ref_v[0], ref_v[1],
+            vUx, vUy, th[..., :-1, :], th[..., 1:, :], ref_v[0], ref_v[1],
             ks_v, ksh_v, kr_v, linearized,
         )
         energy = jnp.sum(e_h) + jnp.sum(e_v)
@@ -177,27 +188,35 @@ def quad_grid_energy_planes(
         return void_1, void_2
 
     sl = jnp.index_exp
-    vh1, vh2 = voids(0, 2, sl[:, :-1], sl[:, 1:])
-    vv1, vv2 = voids(1, 3, sl[:-1, :], sl[1:, :])
+    vh1, vh2 = voids(0, 2, sl[..., :-1], sl[..., 1:])
+    vv1, vv2 = voids(1, 3, sl[..., :-1, :], sl[..., 1:, :])
+    kc_h = kc if h_contact_mask is None else kc * h_contact_mask
     contact = sum(
-        jnp.sum(contact_energy(g, min_angle=cmin, cutoff_angle=ccut, k_contact=kc))
-        for g in (vh1, vh2, vv1, vv2)
+        jnp.sum(contact_energy(g, min_angle=cmin, cutoff_angle=ccut, k_contact=k))
+        for g, k in ((vh1, kc_h), (vh2, kc_h), (vv1, kc), (vv2, kc))
     )
     return energy + contact
 
 
-def _quad_energy_of(linearized: bool, use_contact: bool) -> Callable:
-    """Bind quad_grid_energy_planes to the fixed-leaves convention."""
+def _quad_energy_of(
+    linearized: bool, use_contact: bool, tiled: bool = False
+) -> Callable:
+    """Bind quad_grid_energy_planes to the fixed-leaves convention.
+
+    ``tiled``: the design-tiled layout appends one extra fixed leaf — the
+    horizontal seam contact mask (see ops/pallas/tiling.py)."""
 
     def energy_of(U, fixed):
         # The tail (inertia, damping, mask, scatter factors) is solver data.
         (cnv, centroids, ref_h, ref_v, ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
          cmin, ccut, kc) = fixed[:13]
+        h_mask = fixed[13] if tiled else None
         return quad_grid_energy_planes(
             U, cnv, centroids, ref_h, ref_v,
             ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
             cmin, ccut, kc,
             linearized=linearized, use_contact=use_contact,
+            h_contact_mask=h_mask,
         )
 
     return energy_of
@@ -215,20 +234,30 @@ def build_pallas_verlet_trajectory(
     interpret: bool = False,
     chunk: int = None,
     forward_impl: str = "pallas",
+    tiled: bool = False,
+    backward_impl: str = "xla",
 ):
     """Chunked whole-trajectory fused quad kernel; see
     core.build_verlet_trajectory. ``load_values_fn`` fuses time-dependent
-    force loading (fixed leaves gain a trailing L_chan/L_row/L_col scatter)."""
+    force loading (fixed leaves gain a trailing L_chan/L_row/L_col scatter).
+    ``tiled``: design-tiled batched layout (ops/pallas/tiling.py) — planes
+    carry (B1, n2, B2*n1) and the fixed leaves gain the horizontal seam
+    contact mask after the contact scalars."""
 
-    n_fixed = N_FIXED_ARRAYS + (3 if load_values_fn is not None else 0)
+    n_fixed = (
+        N_FIXED_ARRAYS
+        + (1 if tiled else 0)
+        + (3 if load_values_fn is not None else 0)
+    )
     return core.build_verlet_trajectory(
         n_fixed,
         n_substeps,
         n_timepoints,
-        _quad_energy_of(linearized, use_contact),
+        _quad_energy_of(linearized, use_contact, tiled=tiled),
         drive_values_fn,
         load_values_fn=load_values_fn,
         interpret=interpret,
         chunk=chunk,
         forward_impl=forward_impl,
+        backward_impl=backward_impl,
     )

@@ -5,13 +5,25 @@ The reference runs design restarts sequentially in notebooks
 advances concurrently — one ``vmap``-ed (optionally mesh-sharded) update
 per iteration, which on TPU costs far less than per-candidate runs.
 
-Backend choice for the objective: build the ForwardProblem with
-``method="verlet_ckpt"`` for large populations — XLA lays the candidate
-batch across the VPU lanes and the stored-boundary-state adjoint avoids
-remat (measured on v5e at the flagship 24x16/200-timepoint config:
-2.83 ms/design fwd+grad at B=128 = 353 designs/s, vs 8.4 ms/design for
-the vmapped Pallas kernel and 39.7 ms solo). ``verlet_pallas`` remains
-the fastest for a single design or small batches (latency-bound regime).
+Backend choice for the objective (flagship 24x16/200tp on one v5e;
+numbers in TILED_MULTISTART.json / BENCH):
+
+- LARGE populations (B >~ 100): ``method="verlet_ckpt"`` — XLA lays the
+  candidate batch across the VPU lanes and the stored-boundary-state
+  adjoint avoids remat (323/345 designs/s fwd+grad at B=120/128; its
+  forward-only rate, 1,624/s at B=240, also beats the tiled kernel's).
+- SMALL-TO-MID populations (the reference's typical 5-50 random
+  restarts): ``method="verlet_pallas"`` — a vmapped solve is intercepted
+  by the design-TILING rule (ops/pallas/tiling.py: B2 designs side by
+  side in the kernel's 128 lanes, B1 along a leading dim) and the whole
+  population runs as a few fused-kernel trajectories: 267 designs/s
+  fwd+grad at B=40 vs 108/s for ckpt at the same size (2.5x), extending
+  the fused kernel's win regime from B=1 to B ~ 100.
+
+Both entry points here evaluate the population's value+gradient in the
+vjp-of-vmap order (one vjp of the vmapped objective) — mathematically the
+per-candidate gradients, and the only order the tiling rule's
+``jax.custom_batching`` wrapper supports.
 """
 
 from typing import Callable, NamedTuple, Optional
@@ -59,21 +71,37 @@ def run_multistart_optax(
     if optimizer is None:
         optimizer = optax.adam(1e-2)
     sign = -1.0 if maximize else 1.0
-    value_and_grad = jax.value_and_grad(objective_fn)
 
-    def candidate_step(design, opt_state):
-        value, grad = value_and_grad(design)
-        updates, opt_state = optimizer.update(
-            jax.tree.map(lambda g: sign * g, grad), opt_state, design
+    def batched_step(designs, opt_states):
+        # Whole-population value+grad as ONE vjp of the vmapped objective
+        # (grad-of-vmap order). Mathematically identical to
+        # vmap(value_and_grad) — candidates are independent, so the pullback
+        # of the ones-vector is the per-candidate gradient stack — but this
+        # order also composes with custom-batched solvers (the design-tiled
+        # Pallas backend installs a jax.custom_batching rule, which supports
+        # vmap-then-grad but not vmap-of-grad).
+        values, pullback = jax.vjp(jax.vmap(objective_fn), designs)
+        (grads,) = pullback(jnp.ones_like(values))
+
+        def candidate_update(design, grad, opt_state):
+            updates, opt_state = optimizer.update(
+                jax.tree.map(lambda g: sign * g, grad), opt_state, design
+            )
+            design = optax.apply_updates(design, updates)
+            if lower_bound is not None:
+                design = jax.tree.map(
+                    lambda d: jnp.maximum(d, lower_bound), design
+                )
+            if upper_bound is not None:
+                design = jax.tree.map(
+                    lambda d: jnp.minimum(d, upper_bound), design
+                )
+            return design, opt_state
+
+        designs, opt_states = jax.vmap(candidate_update)(
+            designs, grads, opt_states
         )
-        design = optax.apply_updates(design, updates)
-        if lower_bound is not None:
-            design = jax.tree.map(lambda d: jnp.maximum(d, lower_bound), design)
-        if upper_bound is not None:
-            design = jax.tree.map(lambda d: jnp.minimum(d, upper_bound), design)
-        return design, opt_state, value
-
-    batched_step = jax.vmap(candidate_step)
+        return designs, opt_states, values
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -137,6 +165,7 @@ def run_multistart_mma(
     n_dual_iters: int = 100,
     mesh=None,
     axis_name: str = SCENARIO_AXIS,
+    objective_fn: Optional[Callable] = None,
 ) -> MultistartMMAResult:
     """Constrained multi-start: a population of MMA runs, one update per
     step, entirely on-device.
@@ -162,6 +191,14 @@ def run_multistart_mma(
         constraints_and_jac: optional ``x -> (fi (m,), dfi (m, n))``,
             feasible iff fi <= 0, for ONE candidate.
         mesh: optional device mesh; candidates shard over ``axis_name``.
+        objective_fn: optional raw ``x -> value``. When given, the
+            population's values and gradients come from ONE vjp of the
+            vmapped objective (grad-of-vmap order) instead of vmapping
+            ``objective_and_grad`` — required for solvers whose batched
+            fast path is a jax.custom_batching rule (the design-tiled
+            Pallas backend), which composes with vmap-then-grad but not
+            vmap-of-grad. ``objective_and_grad`` is ignored in that case
+            (pass None).
 
     Returns:
         MultistartMMAResult; ``best_design`` is the best final accepted
@@ -176,8 +213,15 @@ def run_multistart_mma(
     xmax = jnp.broadcast_to(jnp.asarray(xmax, initial_designs.dtype), (n,))
     sign = -1.0 if maximize else 1.0
 
-    def candidate_iter(state, move_scale, acc_value, acc_grad):
-        value, grad = objective_and_grad(state.x)
+    if objective_fn is not None:
+        def batched_value_and_grad(xs):
+            values, pullback = jax.vjp(jax.vmap(objective_fn), xs)
+            (grads,) = pullback(jnp.ones_like(values))
+            return values, grads
+    else:
+        batched_value_and_grad = jax.vmap(objective_and_grad)
+
+    def candidate_iter(state, move_scale, acc_value, acc_grad, value, grad):
         finite = jnp.isfinite(value) & jnp.all(jnp.isfinite(grad))
         fresh = state.iteration == 0
         # Full reject: retreat to the last accepted iterate, reuse its
@@ -205,7 +249,14 @@ def run_multistart_mma(
         )
         return state, move_scale, value, grad, violation, reject
 
-    batched_iter = jax.vmap(candidate_iter)
+    def batched_iter(states, move_scale, acc_v, acc_g):
+        # Objective for the whole population first (one batched evaluation,
+        # grad-of-vmap ordering), then the pure per-candidate MMA update.
+        values, grads = batched_value_and_grad(states.x)
+        return jax.vmap(candidate_iter)(
+            states, move_scale, acc_v, acc_g, values, grads
+        )
+
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 

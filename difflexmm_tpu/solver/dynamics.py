@@ -153,6 +153,7 @@ def setup_dynamic_solver(
     kagome_grid: Optional[dict] = None,
     pallas_interpret: bool = False,
     pallas_chunk: Optional[int] = None,
+    batch_tiling="auto",
 ):
     """Set up the dynamic solver.
 
@@ -182,6 +183,19 @@ def setup_dynamic_solver(
         pallas_chunk: output intervals per Pallas grid step (default: sized
             from the VMEM budget; see ops/pallas/core.default_chunk). Also
             used by tests to force ragged last chunks at small sizes.
+        batch_tiling: "auto" (default), "off", or a dict with optional
+            "b1"/"b2" overrides. With "auto" on quad ``verlet_pallas``
+            solvers, ``jax.vmap`` over designs (multi-start populations)
+            is intercepted by a ``jax.custom_batching`` rule that tiles the
+            batch onto ONE super-lattice — B2 designs side by side along
+            the kernel's 128 lanes, B1 along an extra leading dim — and
+            runs the existing fused kernel on it (ops/pallas/tiling.py).
+            Falls back to plain vmap whenever the tiling assumptions don't
+            hold (batched timepoints / constraint, loading, or contact
+            params). NOTE: the rule composes with vmap-then-grad (grad of
+            a vmapped objective, or jax.vjp of it) but NOT vmap-of-grad;
+            batched optimizers must use the vjp-of-vmap order (see
+            parallel/multistart.py) or set batch_tiling="off".
     """
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
@@ -345,7 +359,7 @@ def setup_dynamic_solver(
 
         def _pallas_trajectory_for(
             keys, lkeys, n_timepoints, example_drive_args, example_load_args,
-            dtype,
+            dtype, tiled=False,
         ):
             """Whole-trajectory kernel for a given constraint/loading params
             key set and output-grid length (cache key includes all).
@@ -371,7 +385,7 @@ def setup_dynamic_solver(
             cache_key = (
                 keys, lkeys, n_timepoints, jax.sharding.get_abstract_mesh(),
                 str(jnp.dtype(dtype)), _sig(example_drive_args),
-                _sig(example_load_args or ()),
+                _sig(example_load_args or ()), tiled,
             )
             if cache_key not in _interval_cache:
                 def raw_drive(t, *args):
@@ -414,23 +428,65 @@ def setup_dynamic_solver(
                     # lanes under large vmap batches where the SoA kernel's
                     # (n2, n1) tiles are mostly padding.
                     forward_impl="xla" if method == "verlet_ckpt" else "pallas",
+                    # Design-tiled batched layout (quads only): an extra
+                    # seam-mask fixed leaf; see ops/pallas/tiling.py.
+                    **(dict(tiled=True) if tiled else {}),
                 )
                 _interval_cache[cache_key] = (
                     trajectory, drive_consts, load_consts
                 )
             return _interval_cache[cache_key]
 
+        def _contact_scalars(mp):
+            contact_on = g_contact and mp.contact_params is not None
+            if contact_on:
+                return (
+                    mp.contact_params.min_angle,
+                    mp.contact_params.cutoff_angle,
+                    mp.contact_params.k_contact,
+                )
+            return 0.0, 1.0, 0.0
+
+        if not is_kagome:
+            def _quad_fixed_core(control_params, inertia):
+                """The 16 per-design quad fixed leaves (physics + solver
+                planes), ending at the free-DOF mask — everything before
+                the scatter factors. vmap-able for the design-tiled batch
+                path (ops/pallas/tiling.py)."""
+
+                mp = control_params.mechanical_params
+                gp = control_params.geometrical_params
+                cmin, ccut, kc = _contact_scalars(mp)
+                (ref_h, ref_v, ks_h, ks_v, ksh_h, ksh_v, kr_h, kr_v) = (
+                    split_grid_bond_data(mp.bond_params, g_n1, g_n2)
+                )
+
+                def ref_planes(ref, shape):
+                    ref = jnp.asarray(ref)
+                    if ref.ndim == 1:  # one shared (2,) reference vector
+                        return jnp.broadcast_to(
+                            ref[:, None, None], (2,) + shape
+                        )
+                    return jnp.moveaxis(ref, -1, 0)  # (n2,n?,2) -> (2,n2,n?)
+
+                return (
+                    _cnv_to_planes(gp.centroid_node_vectors, g_n1, g_n2),
+                    _to_planes(gp.block_centroids, g_n1, g_n2),
+                    ref_planes(ref_h, (g_n2, g_n1 - 1)),
+                    ref_planes(ref_v, (g_n2 - 1, g_n1)),
+                    ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
+                    jnp.asarray(cmin, float), jnp.asarray(ccut, float),
+                    jnp.asarray(kc, float),
+                    _to_planes(inertia, g_n1, g_n2),
+                    _to_planes(_p_damping_coeffs(mp.damping), g_n1, g_n2),
+                    _to_planes(dof_set.free_mask, g_n1, g_n2),
+                )
+
         def _pallas_arrays(control_params, inertia, dtype):
             mp = control_params.mechanical_params
             gp = control_params.geometrical_params
 
-            contact_on = g_contact and mp.contact_params is not None
-            if contact_on:
-                cmin = mp.contact_params.min_angle
-                ccut = mp.contact_params.cutoff_angle
-                kc = mp.contact_params.k_contact
-            else:
-                cmin, ccut, kc = 0.0, 1.0, 0.0
+            cmin, ccut, kc = _contact_scalars(mp)
             keys = tuple(sorted(control_params.constraint_params.keys()))
             drive_args = [control_params.constraint_params[k] for k in keys]
             loading_params = control_params.loading_params or {}
@@ -465,25 +521,9 @@ def setup_dynamic_solver(
                     ks_b2, ksh_b2, kr_b2,
                 ) + common_tail
             else:
-                (ref_h, ref_v, ks_h, ks_v, ksh_h, ksh_v, kr_h, kr_v) = (
-                    split_grid_bond_data(mp.bond_params, g_n1, g_n2)
-                )
-
-                def ref_planes(ref, shape):
-                    ref = jnp.asarray(ref)
-                    if ref.ndim == 1:  # one shared (2,) reference vector
-                        return jnp.broadcast_to(
-                            ref[:, None, None], (2,) + shape
-                        )
-                    return jnp.moveaxis(ref, -1, 0)  # (n2,n?,2) -> (2,n2,n?)
-
-                fixed = (
-                    _cnv_to_planes(gp.centroid_node_vectors, g_n1, g_n2),
-                    _to_planes(gp.block_centroids, g_n1, g_n2),
-                    ref_planes(ref_h, (g_n2, g_n1 - 1)),
-                    ref_planes(ref_v, (g_n2 - 1, g_n1)),
-                    ks_h, ksh_h, kr_h, ks_v, ksh_v, kr_v,
-                ) + common_tail
+                fixed = _quad_fixed_core(control_params, inertia) + S
+                if has_pallas_loading:
+                    fixed = fixed + S_load
             return keys, lkeys, normalize_arrays(
                 fixed, drive_args, dtype, load_args=load_args
             )
@@ -581,6 +621,246 @@ def setup_dynamic_solver(
             c_rates
         )
         return jnp.stack([u, v], axis=1)
+
+    if (
+        method == "verlet_pallas"
+        and quad_grid is not None
+        and kagome_grid is None
+        and batch_tiling != "off"
+    ):
+        from jax import custom_batching
+
+        from difflexmm_tpu.ops.pallas import tiling as _tilemod
+
+        _plain_solve = solve_dynamics
+        _tile_cfg = batch_tiling if isinstance(batch_tiling, dict) else {}
+
+        def _tiled_solve(state0, s0_batched, timepoints, cp, cp_bools, B):
+            """One vmapped solve as ONE (or a few) super-lattice kernel
+            runs; see ops/pallas/tiling.py for the layout."""
+
+            state0 = jnp.asarray(state0)
+            dtype = state0.dtype
+            timepoints = jnp.asarray(timepoints).astype(dtype)
+            b1, b2, n_tiles = _tilemod.choose_tiling(
+                B, g_n1, g_n2, _tile_cfg.get("b1"), _tile_cfg.get("b2")
+            )
+            Bp = b1 * b2 * n_tiles
+
+            def prep(x, batched):
+                x = jnp.asarray(x)
+                if batched:
+                    return _tilemod.pad_batch(x, Bp)
+                return jnp.broadcast_to(x[None], (Bp,) + x.shape)
+
+            gp_b = jax.tree.map(
+                prep, cp.geometrical_params, cp_bools.geometrical_params
+            )
+            mp_b = jax.tree.map(
+                prep, cp.mechanical_params, cp_bools.mechanical_params
+            )
+            y0_b = prep(state0 * dof_set.free_mask, s0_batched)
+
+            def fixed_core(gp, mp):
+                cp1 = cp._replace(
+                    geometrical_params=gp, mechanical_params=mp
+                )
+                return _quad_fixed_core(cp1, _resolve_inertia(cp1))
+
+            (cnv, cen, ref_h, ref_v, ks_h, ksh_h, kr_h,
+             ks_v, ksh_v, kr_v, cmin, ccut, kc, inert, damp, mask) = (
+                jax.vmap(fixed_core)(gp_b, mp_b)
+            )
+
+            h_shape = (g_n2, g_n1 - 1)
+            v_shape = (g_n2 - 1, g_n1)
+
+            def full(x, shape):
+                # Scalar stiffness arrives (Bp,) / (Bp, 1, 1); expand to a
+                # per-bond plane so the seam-masked tiling applies to it.
+                while x.ndim < 1 + len(shape):
+                    x = x[..., None]
+                return jnp.broadcast_to(x, (Bp,) + shape)
+
+            def tp(x):
+                return _tilemod.tile_planes(x, b1, b2)
+
+            def th(x, pad_value=0.0):
+                return _tilemod.tile_h_planes(x, b1, b2, pad_value)
+
+            # Order must match _quad_energy_of(tiled=True): 13 physics
+            # leaves, the h seam contact mask, then the solver tail.
+            fixed_tiled = (
+                tp(cnv), tp(cen),
+                # Seam reference vectors are (1, 0): a zero reference would
+                # make the ligament's 1/l0^2 terms 0/0 even at k = 0.
+                jnp.stack(
+                    [th(ref_h[:, 0], 1.0), th(ref_h[:, 1], 0.0)], axis=1
+                ),
+                tp(ref_v),
+                th(full(ks_h, h_shape)), th(full(ksh_h, h_shape)),
+                th(full(kr_h, h_shape)),
+                tp(full(ks_v, v_shape)), tp(full(ksh_v, v_shape)),
+                tp(full(kr_v, v_shape)),
+                cmin[0], ccut[0], kc[0],
+                _tilemod.h_seam_mask(g_n1, b2, dtype),
+                tp(inert), tp(damp), tp(mask),
+                S[0], S[1], _tilemod.tile_scatter_cols(S[2], b2),
+            )
+            # Which fixed leaves carry the leading n_tiles axis (the rest
+            # are shared across tiles and broadcast by vmap).
+            tiled_flags = [True] * 10 + [False] * 4 + [True] * 3 + [False] * 3
+            if has_pallas_loading:
+                fixed_tiled = fixed_tiled + (
+                    S_load[0], S_load[1],
+                    _tilemod.tile_scatter_cols(S_load[2], b2),
+                )
+                tiled_flags += [False] * 3
+
+            keys = tuple(sorted(cp.constraint_params.keys()))
+            drive_args = [cp.constraint_params[k] for k in keys]
+            loading_params = cp.loading_params or {}
+            lkeys = tuple(sorted(loading_params.keys()))
+            load_args = (
+                [loading_params[k] for k in lkeys]
+                if has_pallas_loading else None
+            )
+            arrays = normalize_arrays(
+                fixed_tiled, drive_args, dtype, load_args=load_args
+            )
+            if has_pallas_loading:
+                example_drive, example_load = arrays[-2], arrays[-1]
+            else:
+                example_drive, example_load = arrays[-1], ()
+            trajectory, drive_consts, load_consts = _pallas_trajectory_for(
+                keys, lkeys, len(timepoints), example_drive, example_load,
+                dtype, tiled=True,
+            )
+            if has_pallas_loading:
+                arrays = arrays[:-2] + (
+                    arrays[-2] + drive_consts, arrays[-1] + load_consts
+                )
+                arr_axes = tuple(
+                    0 if f else None for f in tiled_flags
+                ) + (None, None)
+            else:
+                arrays = arrays[:-1] + (arrays[-1] + drive_consts,)
+                arr_axes = tuple(
+                    0 if f else None for f in tiled_flags
+                ) + (None,)
+
+            U0 = tp(jax.vmap(lambda y: _to_planes(y, g_n1, g_n2))(y0_b[:, 0]))
+            V0 = tp(jax.vmap(lambda y: _to_planes(y, g_n1, g_n2))(y0_b[:, 1]))
+
+            off = 6 if has_pallas_loading else 2
+
+            def run_one(U0_t, V0_t, arrs):
+                inertia_p = arrs[-5 - off]
+                damping_c = arrs[-4 - off]
+                mask_p = arrs[-3 - off]
+                inv_m = mask_p / inertia_p
+                F0 = trajectory.force_fn(U0_t, timepoints[0], arrs)
+                A0 = (F0 - damping_c * V0_t) * inv_m
+                return trajectory((U0_t, V0_t, A0), timepoints, arrs)
+
+            outU, outV, _ = jax.vmap(run_one, in_axes=(0, 0, arr_axes))(
+                U0, V0, arrays
+            )
+
+            def to_fields(x):
+                x = _tilemod.untile_planes(x, b1, b2)  # (Bp, T-1, 3, n2, n1)
+                return jnp.moveaxis(x, 2, -1).reshape(
+                    Bp, x.shape[1], n_blocks, 3
+                )
+
+            ys = jnp.concatenate(
+                [
+                    y0_b[:, None],
+                    jnp.stack([to_fields(outU), to_fields(outV)], axis=2),
+                ],
+                axis=1,
+            )  # (Bp, T, 2, nb, 3)
+
+            if dof_set.n_constrained:
+                cparams = cp.constraint_params
+
+                def drive_and_rate(t):
+                    return jax.jvp(
+                        lambda tt: _drive_values(tt, cparams), (t,),
+                        (jnp.ones_like(t),),
+                    )
+
+                c_vals, c_rates = jax.vmap(drive_and_rate)(timepoints)
+                u = ys[:, :, 0].at[
+                    :, :,
+                    dof_set.constrained_blocks, dof_set.constrained_dofs,
+                ].set(c_vals[None])
+                v = ys[:, :, 1].at[
+                    :, :,
+                    dof_set.constrained_blocks, dof_set.constrained_dofs,
+                ].set(c_rates[None])
+                ys = jnp.stack([u, v], axis=2)
+            return ys[:B]
+
+        try:
+            # Private-API seam (pinned by tests/test_tiled_batching.py):
+            # used only to DETECT an ambient vmap at call time, so the
+            # fail-safe on a JAX upgrade is "no tiling", never wrong math.
+            from jax._src.interpreters.batching import BatchTracer
+        except ImportError:  # pragma: no cover - fail-safe on JAX upgrade
+            BatchTracer = ()
+
+        _wrapped = custom_batching.custom_vmap(_plain_solve)
+
+        @_wrapped.def_vmap
+        def _tiled_vmap_rule(
+            axis_size, in_batched, state0, timepoints, control_params
+        ):
+            s0_b, t_b, cp_bools = in_batched
+
+            def _any(tree):
+                return any(bool(x) for x in jax.tree.leaves(tree))
+
+            eligible = not (
+                _any(t_b)
+                or _any(cp_bools.constraint_params)
+                or _any(cp_bools.loading_params)
+                or _any(cp_bools.mechanical_params.contact_params)
+            )
+            if not eligible:
+                axes = jax.tree.map(lambda b: 0 if b else None, in_batched)
+                out = jax.vmap(_plain_solve, in_axes=tuple(axes))(
+                    state0, timepoints, control_params
+                )
+                return out, True
+            return (
+                _tiled_solve(
+                    state0, bool(s0_b), timepoints, control_params,
+                    cp_bools, axis_size,
+                ),
+                True,
+            )
+
+        def _dispatching_solve(state0, timepoints, control_params):
+            """Route to the design-tiled custom_vmap path ONLY when called
+            under an ambient jax.vmap (argument leaves are batch tracers).
+
+            jax.custom_batching supports vmap-then-grad but not plain
+            grad / vmap-of-grad, so an unconditional wrap would break
+            single-design optimization; this dispatch keeps every
+            non-vmapped call (and vmap-of-grad, whose leaves are JVP
+            tracers wrapping batch tracers) on the plain solve with its
+            exact current semantics.
+            """
+
+            leaves = jax.tree.leaves((state0, timepoints, control_params))
+            if BatchTracer and any(
+                isinstance(leaf, BatchTracer) for leaf in leaves
+            ):
+                return _wrapped(state0, timepoints, control_params)
+            return _plain_solve(state0, timepoints, control_params)
+
+        solve_dynamics = _dispatching_solve
 
     solve_dynamics.dof_set = dof_set
     solve_dynamics.rhs = rhs
