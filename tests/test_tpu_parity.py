@@ -38,6 +38,20 @@ def test_flagship_compiled_pallas_parity():
 
 
 @requires_tpu
+def test_tiled_batching_compiled_parity():
+    import tools.tpu_parity_check as check
+
+    record = {}
+    assert check.tiled_batching_parity(record), record
+    t = record["tiled_batching"]
+    assert (
+        t["objective_max_rel_err_vs_ckpt_vmap"]
+        < check.TOL_OBJECTIVE_PALLAS_VS_XLA
+    )
+    assert t["grad_rel_err_vs_ckpt_vmap"] < check.TOL_GRAD_PALLAS_VS_XLA
+
+
+@requires_tpu
 def test_tensile_oracle_f32():
     import tools.tpu_parity_check as check
 

@@ -188,6 +188,67 @@ def verlet_ckpt_parity(record):
     )
 
 
+def tiled_batching_parity(record):
+    """The design-tiled batched kernel (ops/pallas/tiling.py) compiled on
+    chip: a vmapped flagship population routed through the
+    jax.custom_batching super-lattice rule must match the already-gated
+    ``verlet_ckpt`` vmap per design — value AND design gradient, via the
+    vjp-of-vmap order (the only order the tiling rule supports, and the
+    one parallel/multistart.py uses).
+
+    The CPU suite pins this in interpret mode / f64
+    (tests/test_tiled_batching.py); this gate is the compiled-Mosaic +
+    f32 + seam-mask-at-real-tile-sizes version (B=10 → b2=5 designs
+    across the 128 lanes × b1=2 sublane groups at the 24×16 flagship)."""
+
+    from bench import build_flagship
+
+    B = 10
+
+    def _perturbed(design):
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+            * (1 + 1e-3 * jnp.arange(B).reshape((B,) + (1,) * x.ndim)),
+            design,
+        )
+
+    results = {}
+    for method in ("verlet_pallas", "verlet_ckpt"):
+        optimization, design = build_flagship(method=method)
+        obj = optimization.objective_fn
+
+        @jax.jit
+        def batched_vg(ds):
+            vals, pullback = jax.vjp(jax.vmap(obj), ds)
+            (grads,) = pullback(jnp.ones_like(vals))
+            return vals, grads
+
+        vals, grads = batched_vg(_perturbed(design))
+        jax.block_until_ready((vals, grads))
+        results[method] = (vals, grads)
+
+    (v_t, g_t), (v_c, g_c) = (
+        results["verlet_pallas"],
+        results["verlet_ckpt"],
+    )
+    record["tiled_batching"] = {
+        "batch": B,
+        "objective_max_rel_err_vs_ckpt_vmap": float(
+            jnp.max(jnp.abs(v_t - v_c) / jnp.abs(v_c))
+        ),
+        "grad_rel_err_vs_ckpt_vmap": _grad_rel_err(g_t, g_c),
+    }
+    # Same discretization; tiled kernel differs by super-lattice layout,
+    # seam-masked bond/contact planes, and the polynomial atan2 — the same
+    # error class as the single-design pallas-vs-xla gate.
+    return (
+        record["tiled_batching"]["objective_max_rel_err_vs_ckpt_vmap"]
+        < TOL_OBJECTIVE_PALLAS_VS_XLA
+        and record["tiled_batching"]["grad_rel_err_vs_ckpt_vmap"]
+        < TOL_GRAD_PALLAS_VS_XLA
+    )
+
+
 def serving_roundtrip(record):
     """AOT-export serving path on chip: serialize the flagship
     value_and_grad (difflexmm_tpu/serving.py), deserialize from bytes, and
@@ -355,10 +416,16 @@ def main():
     ok_flagship = flagship_parity(record)
     ok_kagome = kagome_parity(record)
     ok_ckpt = verlet_ckpt_parity(record)
+    ok_tiled = tiled_batching_parity(record)
     ok_tensile = tensile_oracle_f32(record)
     ok_serving = serving_roundtrip(record)
     record["ok"] = bool(
-        ok_flagship and ok_kagome and ok_ckpt and ok_tensile and ok_serving
+        ok_flagship
+        and ok_kagome
+        and ok_ckpt
+        and ok_tiled
+        and ok_tensile
+        and ok_serving
     )
     (REPO / "PARITY_TPU.json").write_text(json.dumps(record, indent=2))
     print(json.dumps(record, indent=2))
