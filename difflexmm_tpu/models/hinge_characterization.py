@@ -37,7 +37,7 @@ from difflexmm_tpu.utils.types import (
     SolutionData,
     SolutionType,
 )
-from difflexmm_tpu.solver.dynamics import setup_dynamic_solver
+from difflexmm_tpu.solver.dynamics import FAST_METHODS, setup_dynamic_solver
 from difflexmm_tpu.solver.statics import setup_static_solver
 
 
@@ -124,7 +124,7 @@ def _characterization_setup(self, geometry, block_centroids, centroid_node_vecto
             linearized=self.linearized_strains,
             use_contact=self.use_contact,
         )
-        if self.method in ("verlet_pallas", "verlet_ckpt")
+        if self.method in FAST_METHODS
         else None
     )
     if self.method == "static":

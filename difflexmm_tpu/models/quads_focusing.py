@@ -34,7 +34,7 @@ from difflexmm_tpu.ops.observables import (
 )
 from difflexmm_tpu.optim.loops import ravel_pytree, run_optimization_optax
 from difflexmm_tpu.optim.mma import run_mma
-from difflexmm_tpu.solver.dynamics import setup_dynamic_solver
+from difflexmm_tpu.solver.dynamics import FAST_METHODS, setup_dynamic_solver
 from difflexmm_tpu.utils.types import (
     ContactParams,
     ControlParams,
@@ -165,7 +165,7 @@ class ForwardProblem:
                 linearized=self.linearized_strains,
                 use_contact=self.use_contact,
             )
-            if self.method in ("verlet_pallas", "verlet_ckpt")
+            if self.method in FAST_METHODS
             else None
         )
         solve_dynamics = setup_dynamic_solver(

@@ -32,7 +32,7 @@ from difflexmm_tpu.ops.bonds import ligament_energy, ligament_energy_linearized
 from difflexmm_tpu.ops.contact import build_contact_energy
 from difflexmm_tpu.ops.grid import build_quad_grid_energy
 from difflexmm_tpu.ops.observables import kinetic_energy
-from difflexmm_tpu.solver.dynamics import setup_dynamic_solver
+from difflexmm_tpu.solver.dynamics import FAST_METHODS, setup_dynamic_solver
 from difflexmm_tpu.utils.types import (
     ContactParams,
     ControlParams,
@@ -188,7 +188,7 @@ class ForwardProblem:
                 linearized=self.linearized_strains,
                 use_contact=self.use_contact,
             )
-            if self.method in ("verlet_pallas", "verlet_ckpt")
+            if self.method in FAST_METHODS
             else None
         )
         solve_dynamics = setup_dynamic_solver(

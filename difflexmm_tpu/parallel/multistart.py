@@ -19,6 +19,10 @@ numbers in TILED_MULTISTART.json / BENCH):
   population runs as a few fused-kernel trajectories: 267 designs/s
   fwd+grad at B=40 vs 108/s for ckpt at the same size (2.5x), extending
   the fused kernel's win regime from B=1 to B ~ 100.
+- ``method="auto"`` applies these rules automatically: it resolves to the
+  Pallas kernel on TPU and its batching rule re-routes populations past
+  the measured crossover (96) to the verlet_ckpt forward at trace time
+  (solver.resolve_method / solver/dynamics.py).
 
 Both entry points here evaluate the population's value+gradient in the
 vjp-of-vmap order (one vjp of the vmapped objective) — mathematically the

@@ -1,4 +1,14 @@
-from difflexmm_tpu.solver.dynamics import build_RHS, setup_dynamic_solver  # noqa: F401
+from difflexmm_tpu.solver.dynamics import (  # noqa: F401
+    FAST_METHODS,
+    build_RHS,
+    resolve_method,
+    setup_dynamic_solver,
+)
+from difflexmm_tpu.solver.diagnose import (  # noqa: F401
+    TunnelingReport,
+    contact_tunneling_report,
+    first_nonfinite_timepoint,
+)
 from difflexmm_tpu.solver.integrate import (  # noqa: F401
     estimate_stable_dt,
     integrate,

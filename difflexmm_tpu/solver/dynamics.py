@@ -39,6 +39,45 @@ from difflexmm_tpu.utils.types import ControlParams
 
 _EMPTY_PAIRS = np.zeros((0, 2), dtype=np.int64)
 
+#: Solver methods that consume the gridded fast path (models pass
+#: quad_grid/kagome_grid through when ``method in FAST_METHODS``).
+FAST_METHODS = ("verlet_pallas", "verlet_ckpt", "auto")
+
+# Measured crossover of the design-tiled Pallas kernel vs the XLA-scan
+# forward under vmap (TILED_MULTISTART.json, v5e, flagship 24x16/200tp):
+# tiled wins fwd+grad up to B ~ 100 (267 vs 108 designs/s at B=40); the
+# lane-packed XLA scan wins beyond (345 vs 295 at B >= 120). ``auto``
+# routes vmapped populations larger than this to "verlet_ckpt".
+_AUTO_MAX_TILED_BATCH = 96
+
+
+def resolve_method(
+    quad_grid=None,
+    kagome_grid=None,
+    pallas_interpret: bool = False,
+    backend: Optional[str] = None,
+) -> str:
+    """Resolve ``method="auto"`` to a concrete solver backend.
+
+    Measured selection rules (CLAUDE.md / TILED_MULTISTART.json): on TPU
+    with a gridded lattice, the fused Pallas interval kernel is the best
+    single-design backend, and its design-tiling vmap rule covers small
+    populations — so "auto" picks ``"verlet_pallas"`` (large vmapped
+    populations are re-routed to ``"verlet_ckpt"`` at trace time by the
+    batching rule, where the batch size is known). Without a grid, or off
+    TPU, the XLA ``"verlet"`` scan is the drop-in equivalent.
+    ``pallas_interpret=True`` forces the Pallas path regardless of backend
+    (interpreter-mode testing).
+    """
+
+    if quad_grid is None and kagome_grid is None:
+        return "verlet"
+    if pallas_interpret:
+        return "verlet_pallas"
+    if backend is None:
+        backend = jax.default_backend()
+    return "verlet_pallas" if backend == "tpu" else "verlet"
+
 
 def build_RHS(energy_fn: Callable, loading_fn: Callable, free_mask: jnp.ndarray):
     """RHS of the dynamic problem on the dense masked state.
@@ -165,11 +204,16 @@ def setup_dynamic_solver(
     Args beyond the reference's (difflexmm/dynamics.py:60-88):
         method: "rk4" (default), "verlet", "semi_implicit", "odeint",
             "verlet_pallas" (fused Pallas interval kernel; quad/kagome
-            grids), or "verlet_ckpt" (same interval structure and
+            grids), "verlet_ckpt" (same interval structure and
             stored-boundary-state adjoint as verlet_pallas, but the forward
             is a plain XLA scan — the fastest choice under large vmap
             batches, e.g. multi-start design sweeps, where XLA lays the
-            batch across VPU lanes).
+            batch across VPU lanes), or "auto" (resolve by the measured
+            selection rules — see :func:`resolve_method`: Pallas kernel on
+            TPU when a grid is given, XLA verlet otherwise; vmapped
+            populations larger than the measured tiling crossover are
+            re-routed to the verlet_ckpt forward inside the batching rule,
+            where the population size is known).
         n_substeps: fixed integration steps per output interval.
         checkpoint: rematerialized backward pass over intervals.
         quad_grid: for "verlet_pallas" on quad lattices: dict with n1, n2
@@ -197,6 +241,29 @@ def setup_dynamic_solver(
             batched optimizers must use the vjp-of-vmap order (see
             parallel/multistart.py) or set batch_tiling="off".
     """
+
+    # Captured for the batching rule's large-population fallback solver
+    # (built lazily, identical setup but method="verlet_ckpt").
+    _setup_kwargs = dict(
+        geometry=geometry,
+        energy_fn=energy_fn,
+        loaded_block_DOF_pairs=loaded_block_DOF_pairs,
+        loading_fn=loading_fn,
+        constrained_block_DOF_pairs=constrained_block_DOF_pairs,
+        constrained_DOFs_fn=constrained_DOFs_fn,
+        damped_blocks=damped_blocks,
+        rtol=rtol,
+        atol=atol,
+        n_substeps=n_substeps,
+        checkpoint=checkpoint,
+        quad_grid=quad_grid,
+        kagome_grid=kagome_grid,
+        pallas_interpret=pallas_interpret,
+        pallas_chunk=pallas_chunk,
+    )
+    was_auto = method == "auto"
+    if was_auto:
+        method = resolve_method(quad_grid, kagome_grid, pallas_interpret)
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
 
@@ -634,6 +701,25 @@ def setup_dynamic_solver(
 
         _plain_solve = solve_dynamics
         _tile_cfg = batch_tiling if isinstance(batch_tiling, dict) else {}
+        # Populations larger than this leave the tiled kernel for a plain
+        # vmap of the XLA-scan forward ("verlet_ckpt"), which wins at scale
+        # (lane packing across the batch — TILED_MULTISTART.json). Enabled
+        # by default under method="auto"; opt-in via
+        # batch_tiling={"max_batch": N} for explicit "verlet_pallas".
+        _max_tiled_batch = _tile_cfg.get(
+            "max_batch", _AUTO_MAX_TILED_BATCH if was_auto else None
+        )
+        _fallback_method = _tile_cfg.get("fallback_method", "verlet_ckpt")
+        _fallback_cache = {}
+
+        def _fallback_solve():
+            if "solve" not in _fallback_cache:
+                _fallback_cache["solve"] = setup_dynamic_solver(
+                    method=_fallback_method,
+                    batch_tiling="off",
+                    **_setup_kwargs,
+                )
+            return _fallback_cache["solve"]
 
         def _tiled_solve(state0, s0_batched, timepoints, cp, cp_bools, B):
             """One vmapped solve as ONE (or a few) super-lattice kernel
@@ -827,9 +913,20 @@ def setup_dynamic_solver(
                 or _any(cp_bools.loading_params)
                 or _any(cp_bools.mechanical_params.contact_params)
             )
-            if not eligible:
+            if not eligible or (
+                _max_tiled_batch is not None and axis_size > _max_tiled_batch
+            ):
                 axes = jax.tree.map(lambda b: 0 if b else None, in_batched)
-                out = jax.vmap(_plain_solve, in_axes=tuple(axes))(
+                # When fallback routing is enabled (method="auto" or an
+                # explicit max_batch), un-tileable or oversized populations
+                # run the XLA-scan forward — faster than a plain vmap of
+                # the Pallas kernel at any measured batch size.
+                target = (
+                    _fallback_solve()
+                    if _max_tiled_batch is not None
+                    else _plain_solve
+                )
+                out = jax.vmap(target, in_axes=tuple(axes))(
                     state0, timepoints, control_params
                 )
                 return out, True

@@ -145,6 +145,28 @@ def main(n_iterations: int = 10, out_dir: str = "out", n1: int = 24, n2: int = 1
     if bad:
         import subprocess
 
+        # Annotate each blow-up with the tunneling diagnosis before the f64
+        # rescue: where the trajectory went non-finite and how close the
+        # per-substep rotation came to spanning the barrier window.
+        from difflexmm_tpu.solver import contact_tunneling_report
+
+        fp = longest.forward_problem
+        summary["tunneling_reports"] = {}
+        for h in bad:
+            sol = fp.solve(designs[h])
+            report = contact_tunneling_report(
+                sol.fields, sol.timepoints, fp.n_substeps,
+                fp.min_angle, fp.cutoff_angle,
+            )
+            frac = np.asarray(report.window_fraction)
+            frac = frac[np.isfinite(frac)]
+            summary["tunneling_reports"][str(h)] = {
+                "first_nonfinite_timepoint": report.first_nonfinite,
+                "max_finite_window_fraction": (
+                    float(frac.max()) if frac.size else None
+                ),
+            }
+
         result = subprocess.run(
             [sys.executable, __file__, "--cross-eval-f64",
              str(out / "simulation_time_effect_designs.pkl"),

@@ -330,3 +330,24 @@ def test_experiment_playback_drive_verlet_pallas_interpret():
     assert jnp.all(jnp.isfinite(f_ref))
     assert float(jnp.max(jnp.abs(f_ref))) > 1e-3
     assert jnp.allclose(f_pal, f_ref, atol=1e-6)
+
+
+def test_reference_design_auto_method_on_cpu_matches_verlet():
+    # method="auto" without a TPU (and without interpret mode) resolves to
+    # the XLA verlet scan — the model builds and matches the explicit
+    # method bit-exactly.
+    ref = _reference_design("verlet")
+    auto = _reference_design("auto")
+    assert jnp.allclose(auto.solve().fields, ref.solve().fields, atol=0.0)
+
+
+@pytest.mark.slow
+def test_reference_design_auto_method_interpret_takes_pallas_path():
+    # With pallas_interpret=True, "auto" must resolve to the Pallas kernel
+    # (interpreter mode), matching verlet to kernel tolerance.
+    ref = _reference_design("verlet")
+    auto = _reference_design("auto", pallas_interpret=True)
+    f_ref = ref.solve().fields
+    f_auto = auto.solve().fields
+    assert jnp.all(jnp.isfinite(f_ref))
+    assert jnp.allclose(f_auto, f_ref, atol=1e-6)

@@ -211,3 +211,102 @@ def test_batch_tracer_seam_pinned():
             "vmap dispatch in solver/dynamics.py (_dispatching_solve) or "
             "the design-tiled batched path silently degrades to plain vmap."
         ) from e
+
+
+def test_resolve_method_rules():
+    from difflexmm_tpu.solver import resolve_method
+
+    grid = dict(n1=N1, n2=N2)
+    # No grid: nothing for the fused kernels to run on.
+    assert resolve_method(None, None, backend="tpu") == "verlet"
+    # Grid + TPU: fused Pallas kernel; grid + CPU: XLA verlet.
+    assert resolve_method(grid, None, backend="tpu") == "verlet_pallas"
+    assert resolve_method(grid, None, backend="cpu") == "verlet"
+    assert resolve_method(None, grid, backend="tpu") == "verlet_pallas"
+    # Interpreter mode forces the Pallas path (CPU test parity).
+    assert resolve_method(grid, None, pallas_interpret=True, backend="cpu") == (
+        "verlet_pallas"
+    )
+
+
+def test_auto_method_tiled_vmap_matches_per_design():
+    # method="auto" with pallas_interpret resolves to the Pallas path and
+    # installs the tiling rule; small populations run tiled.
+    solve, state0, timepoints, cp_for, geo = _setup("auto")
+    solve_ref, *_ = _setup("verlet")
+    designs = _design_batch(geo, 4)
+    cps = _stack_cps(cp_for, designs)
+    out = jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps)
+    ref = jnp.stack(
+        [solve_ref(state0, timepoints, cp_for(d)) for d in designs]
+    )
+    assert jnp.allclose(out, ref, atol=1e-6), float(
+        jnp.max(jnp.abs(out - ref))
+    )
+
+
+def test_max_batch_routes_large_populations_to_ckpt(monkeypatch):
+    # Populations above batch_tiling["max_batch"] must leave the tiled
+    # kernel for a plain vmap of the verlet_ckpt forward (the measured
+    # winner at scale), with per-design parity intact.
+    from difflexmm_tpu.solver import dynamics
+
+    built_methods = []
+    orig_setup = dynamics.setup_dynamic_solver
+
+    def spy(**kwargs):
+        built_methods.append(kwargs.get("method"))
+        return orig_setup(**kwargs)
+
+    monkeypatch.setattr(dynamics, "setup_dynamic_solver", spy)
+
+    solve, state0, timepoints, cp_for, geo = _setup(
+        "verlet_pallas", batch_tiling=dict(max_batch=2)
+    )
+    solve_ref, *_ = _setup("verlet")
+    designs = _design_batch(geo, 4)
+    cps = _stack_cps(cp_for, designs)
+    out = jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps)
+    assert "verlet_ckpt" in built_methods, (
+        "population of 4 > max_batch=2 should have built the ckpt fallback"
+    )
+    ref = jnp.stack(
+        [solve_ref(state0, timepoints, cp_for(d)) for d in designs]
+    )
+    assert jnp.allclose(out, ref, atol=1e-6), float(
+        jnp.max(jnp.abs(out - ref))
+    )
+
+
+def test_ineligible_batch_with_max_batch_routes_to_ckpt(monkeypatch):
+    # Scenario-style vmap (batched drive amplitude) is not tileable; with
+    # fallback routing enabled it must run the ckpt forward, not a plain
+    # vmap of the Pallas kernel, still matching per-scenario solves.
+    from difflexmm_tpu.solver import dynamics
+
+    built_methods = []
+    orig_setup = dynamics.setup_dynamic_solver
+
+    def spy(**kwargs):
+        built_methods.append(kwargs.get("method"))
+        return orig_setup(**kwargs)
+
+    monkeypatch.setattr(dynamics, "setup_dynamic_solver", spy)
+
+    solve, state0, timepoints, cp_for, geo = _setup(
+        "verlet_pallas", batch_tiling=dict(max_batch=8)
+    )
+    solve_ref, *_ = _setup("verlet")
+    design = geo.get_design_from_rotated_square(0.2)
+    amps = [0.05, 0.1, 0.15]
+    cps = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[cp_for(design, a) for a in amps]
+    )
+    out = jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps)
+    assert "verlet_ckpt" in built_methods
+    ref = jnp.stack(
+        [solve_ref(state0, timepoints, cp_for(design, a)) for a in amps]
+    )
+    assert jnp.allclose(out, ref, atol=1e-6), float(
+        jnp.max(jnp.abs(out - ref))
+    )

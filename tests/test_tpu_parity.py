@@ -68,3 +68,23 @@ def test_serving_roundtrip_on_chip():
     record = {}
     assert check.serving_roundtrip(record), record
     assert record["serving"]["grad_rel_err_vs_live"] < 1e-6
+
+
+@requires_tpu
+def test_auto_method_on_chip():
+    import tools.tpu_parity_check as check
+
+    record = {}
+    assert check.auto_method_gate(record), record
+    assert record["auto_method"]["resolved"] == "verlet_pallas"
+
+
+@requires_tpu
+def test_kagome_scale_compiled_parity():
+    import tools.tpu_parity_check as check
+
+    record = {}
+    assert check.kagome_scale_parity(record), record
+    k = record["kagome_scale_48x40"]
+    assert k["objective_rel_err_pallas_vs_xla"] < check.TOL_OBJECTIVE_PALLAS_VS_XLA
+    assert k["grad_rel_err_pallas_vs_xla"] < check.TOL_GRAD_PALLAS_VS_XLA

@@ -160,6 +160,92 @@ def kagome_parity(record):
     )
 
 
+def kagome_scale_parity(record):
+    """Large-lattice kagome: 48x40 cells (3,840 blocks, 11,520 DOFs) —
+    chunked HBM-streaming kernel vs XLA verlet, fwd+grad. Pins the scaling
+    claim (the quad 96x64 check lives in bench.py; this is the kagome
+    binding's equivalent, previously a one-off measurement)."""
+
+    from difflexmm_tpu.models.kagome_focusing import (
+        ForwardProblem,
+        OptimizationProblem,
+    )
+
+    results = {}
+    for method in ("verlet_pallas", "verlet"):
+        problem = ForwardProblem(
+            n1_cells=48, n2_cells=40, cell_size=1.0,
+            cell_angle=jnp.pi / 3, bond_length=0.05,
+            k_stretch=1.0, k_shear=0.02, k_rot=1e-3,
+            density=1.0, damping=0.02,
+            amplitude=0.1, loading_rate=2.0, input_delay=0.0,
+            n_excited_blocks=6, simulation_time=4.0,
+            n_timepoints=60, n_substeps=10, method=method,
+            n_blocks_clamped_corner=1,
+        )
+        # Same propagation distance as the 12x10 gate (6 cells from the
+        # driven edge): the centered default would sit 24 cells in, which
+        # the wave cannot reach in simulation_time=4.0 (objective exactly
+        # zero -> the parity ratio is meaningless).
+        opt = OptimizationProblem(
+            problem, target_size=(4, 4), target_shift=(-18, 0)
+        )
+        opt.setup_objective()
+        design = problem.geometry.zero_design()
+        vag = jax.jit(jax.value_and_grad(opt.objective_fn))
+        val, grad = vag(design)
+        jax.block_until_ready((val, grad))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            jax.block_until_ready(vag(design)[0])
+        results[method] = (float(val), grad, (time.perf_counter() - t0) / 3)
+
+    (v_p, g_p, t_p), (v_x, g_x, t_x) = (
+        results["verlet_pallas"], results["verlet"]
+    )
+    record["kagome_scale_48x40"] = {
+        "objective_pallas": v_p,
+        "objective_xla": v_x,
+        "objective_rel_err_pallas_vs_xla": abs(v_p - v_x) / abs(v_x),
+        "grad_rel_err_pallas_vs_xla": _grad_rel_err(g_p, g_x),
+        "pallas_fwd_bwd_seconds": t_p,
+        "xla_fwd_bwd_seconds": t_x,
+    }
+    return (
+        record["kagome_scale_48x40"]["objective_rel_err_pallas_vs_xla"]
+        < TOL_OBJECTIVE_PALLAS_VS_XLA
+        and record["kagome_scale_48x40"]["grad_rel_err_pallas_vs_xla"]
+        < TOL_GRAD_PALLAS_VS_XLA
+    )
+
+
+def auto_method_gate(record):
+    """method="auto" on chip: must resolve to the fused Pallas kernel for
+    the gridded flagship and reproduce the explicit verlet_pallas
+    objective (same compiled program; solver/dynamics.py resolve_method)."""
+
+    from bench import build_flagship
+    from difflexmm_tpu.solver import resolve_method
+
+    resolved = resolve_method(quad_grid=dict(n1=24, n2=16))
+    optimization, design = build_flagship(method="auto")
+    val = float(jax.jit(optimization.objective_fn)(design))
+    if "flagship" in record:
+        ref = record["flagship"]["objective_pallas"]
+    else:
+        opt_p, design_p = build_flagship(method="verlet_pallas")
+        ref = float(jax.jit(opt_p.objective_fn)(design_p))
+    record["auto_method"] = {
+        "resolved": resolved,
+        "objective_auto": val,
+        "objective_rel_err_vs_pallas": abs(val - ref) / abs(ref),
+    }
+    return (
+        resolved == "verlet_pallas"
+        and record["auto_method"]["objective_rel_err_vs_pallas"] < 1e-6
+    )
+
+
 def verlet_ckpt_parity(record):
     """The large-batch backend (XLA forward + stored-state adjoint) against
     the plain verlet scan, compiled on chip."""
@@ -414,14 +500,18 @@ def main():
         return 2
 
     ok_flagship = flagship_parity(record)
+    ok_auto = auto_method_gate(record)
     ok_kagome = kagome_parity(record)
+    ok_kagome_scale = kagome_scale_parity(record)
     ok_ckpt = verlet_ckpt_parity(record)
     ok_tiled = tiled_batching_parity(record)
     ok_tensile = tensile_oracle_f32(record)
     ok_serving = serving_roundtrip(record)
     record["ok"] = bool(
         ok_flagship
+        and ok_auto
         and ok_kagome
+        and ok_kagome_scale
         and ok_ckpt
         and ok_tiled
         and ok_tensile
