@@ -111,6 +111,22 @@ def build_RHS(energy_fn: Callable, loading_fn: Callable, free_mask: jnp.ndarray)
     return rhs
 
 
+def _dense_guard_travel(v, a, dt, guard):
+    """Guard risk metric on the dense (n_blocks, 3) state layout.
+
+    Max predicted rotational travel in one substep, plus the translational
+    contribution scaled by the guard length (see
+    ops/pallas/core.resolve_guard for the semantics)."""
+
+    travel = jnp.max(jnp.abs(v[..., 2]) * dt + (0.5 * dt * dt) * jnp.abs(a[..., 2]))
+    if guard["length_scale"] is not None:
+        trans = jnp.max(
+            jnp.abs(v[..., :2]) * dt + (0.5 * dt * dt) * jnp.abs(a[..., :2])
+        )
+        travel = travel + trans / guard["length_scale"]
+    return travel
+
+
 def _integrate_verlet(
     force_fn: Callable,
     damping_coeffs_fn: Callable,
@@ -121,6 +137,7 @@ def _integrate_verlet(
     inertia: jnp.ndarray,
     n_substeps: int,
     checkpoint: bool,
+    guard=None,
 ) -> jnp.ndarray:
     """Velocity-Verlet with exact implicit treatment of diagonal damping.
 
@@ -130,7 +147,14 @@ def _integrate_verlet(
         v1 (1 + dt c / 2m) = v + dt/2 (a0 + F1/m).
     This is the default hot path on TPU: per-step op count is what bounds
     wall-clock at these problem sizes, not FLOPs.
+
+    ``guard``: resolved reactive-substep spec (ops/pallas/core.resolve_guard)
+    — substeps whose predicted rotational travel exceeds the threshold are
+    re-run as micro-steps, the fixed-step replacement for the reference's
+    adaptive dt at contact-barrier force spikes.
     """
+
+    from difflexmm_tpu.ops.pallas.core import make_guarded_stepper
 
     c = damping_coeffs_fn(control_params.mechanical_params.damping)
     lp = control_params.loading_params
@@ -140,17 +164,29 @@ def _integrate_verlet(
         f = force_fn(u, v, t, control_params, lp)
         return (f - c * v) * inv_m
 
-    def step(carry, t_dt):
+    def one_step(carry, t_start, dt):
         u, v, a = carry
-        t, dt = t_dt
-        t1 = t + dt
+        t1 = t_start + dt
         u1 = u + dt * v + (0.5 * dt * dt) * a
         f1 = force_fn(u1, v + dt * a, t1, control_params, lp)
         v_hat = v + 0.5 * dt * (a + f1 * inv_m)
         v1 = v_hat / (1.0 + 0.5 * dt * c / inertia)
         v1 = v1 * free_mask
         a1 = (f1 - c * v1) * inv_m
-        return (u1, v1, a1), None
+        return u1, v1, a1
+
+    if guard is None:
+        stepper = one_step
+    else:
+        stepper = make_guarded_stepper(
+            one_step,
+            lambda v, a, dt: _dense_guard_travel(v, a, dt, guard),
+            guard,
+        )
+
+    def step(carry, t_dt):
+        t, dt = t_dt
+        return stepper(carry, t, dt), None
 
     def interval(carry, bounds):
         t0, t1 = bounds
@@ -193,6 +229,7 @@ def setup_dynamic_solver(
     pallas_interpret: bool = False,
     pallas_chunk: Optional[int] = None,
     batch_tiling="auto",
+    guard=None,
 ):
     """Set up the dynamic solver.
 
@@ -236,10 +273,31 @@ def setup_dynamic_solver(
             runs the existing fused kernel on it (ops/pallas/tiling.py).
             Falls back to plain vmap whenever the tiling assumptions don't
             hold (batched timepoints / constraint, loading, or contact
-            params). NOTE: the rule composes with vmap-then-grad (grad of
-            a vmapped objective, or jax.vjp of it) but NOT vmap-of-grad;
-            batched optimizers must use the vjp-of-vmap order (see
+            params). A dict may also set "max_batch": N — populations
+            larger than N (and, under method="auto", ALL un-tileable
+            batches) reroute to a lazily built "verlet_ckpt" sibling
+            solver, i.e. XLA-scan numerics; an explicit "verlet_pallas"
+            with "max_batch" keeps Pallas numerics for un-tileable batches
+            at or below its cap. NOTE: the rule composes with
+            vmap-then-grad (grad of a vmapped objective, or jax.vjp of it)
+            but NOT vmap-of-grad with extra non-differentiated batched
+            args (raises NotImplementedError naming the fix); batched
+            optimizers must use the vjp-of-vmap order (see
             parallel/multistart.py) or set batch_tiling="off".
+        guard: reactive substep escalation for the fixed-step Verlet
+            backends ("verlet", "verlet_ckpt", "verlet_pallas") — the
+            fixed-step equivalent of the reference's adaptive dt at contact
+            force spikes (reference difflexmm/dynamics.py:166). A dict with
+            ``threshold`` (max rotational travel per substep, rad) or
+            ``window`` (the contact barrier window; threshold =
+            ``fraction * window``, fraction default 0.1), plus optional
+            ``refine`` (micro-steps per risky substep, default 16),
+            ``levels`` (recursion depth, default 1), and ``length_scale``
+            (count translational motion as travel / length_scale). See
+            ops/pallas/core.resolve_guard. Substeps predicted to cross a
+            large fraction of the barrier window re-run as micro-steps, so
+            strong-pulse f32 runs survive contact events instead of
+            stepping into the barrier's 1/x asymptote (NaN).
     """
 
     # Captured for the batching rule's large-population fallback solver
@@ -260,10 +318,25 @@ def setup_dynamic_solver(
         kagome_grid=kagome_grid,
         pallas_interpret=pallas_interpret,
         pallas_chunk=pallas_chunk,
+        guard=guard,
     )
     was_auto = method == "auto"
     if was_auto:
         method = resolve_method(quad_grid, kagome_grid, pallas_interpret)
+
+    if guard is not None and method not in (
+        "verlet", "verlet_pallas", "verlet_ckpt"
+    ):
+        raise ValueError(
+            f"guard is only supported by the fixed-step Verlet backends "
+            f"('verlet', 'verlet_pallas', 'verlet_ckpt'), not method="
+            f"{method!r}. The odeint backend is already adaptive; for rk4/"
+            "semi_implicit use method='verlet'."
+        )
+    if guard is not None and method == "verlet":
+        from difflexmm_tpu.ops.pallas.core import resolve_guard
+
+        _dense_guard = resolve_guard(guard, theta_channels=(2,))
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
 
@@ -490,6 +563,7 @@ def setup_dynamic_solver(
                     linearized=g_linearized, use_contact=g_contact,
                     interpret=pallas_interpret,
                     chunk=pallas_chunk,
+                    guard=guard,
                     # verlet_ckpt: identical math and stored-state adjoint,
                     # but the forward is a plain scan - XLA fills the VPU
                     # lanes under large vmap batches where the SoA kernel's
@@ -653,6 +727,7 @@ def setup_dynamic_solver(
                 inertia,
                 n_substeps,
                 checkpoint,
+                guard=_dense_guard if guard is not None else None,
             )
         else:
             ys = integrate(
@@ -895,6 +970,22 @@ def setup_dynamic_solver(
             from jax._src.interpreters.batching import BatchTracer
         except ImportError:  # pragma: no cover - fail-safe on JAX upgrade
             BatchTracer = ()
+        try:
+            # Same seam, for detecting an in-flight grad/jvp mixed with an
+            # ambient vmap (the one composition custom_vmap cannot take).
+            # grad leaves are JVPTracer (jvp) or LinearizeTracer (vjp
+            # linearization) depending on the JAX version/path.
+            from jax._src.interpreters import ad as _ad
+
+            ADTracers = tuple(
+                t for t in (
+                    getattr(_ad, "JVPTracer", None),
+                    getattr(_ad, "LinearizeTracer", None),
+                )
+                if t is not None
+            )
+        except ImportError:  # pragma: no cover - fail-safe on JAX upgrade
+            ADTracers = ()
 
         _wrapped = custom_batching.custom_vmap(_plain_solve)
 
@@ -913,19 +1004,22 @@ def setup_dynamic_solver(
                 or _any(cp_bools.loading_params)
                 or _any(cp_bools.mechanical_params.contact_params)
             )
-            if not eligible or (
+            oversized = (
                 _max_tiled_batch is not None and axis_size > _max_tiled_batch
-            ):
+            )
+            if not eligible or oversized:
                 axes = jax.tree.map(lambda b: 0 if b else None, in_batched)
-                # When fallback routing is enabled (method="auto" or an
-                # explicit max_batch), un-tileable or oversized populations
-                # run the XLA-scan forward — faster than a plain vmap of
-                # the Pallas kernel at any measured batch size.
-                target = (
-                    _fallback_solve()
-                    if _max_tiled_batch is not None
-                    else _plain_solve
+                # Oversized populations (and, under method="auto", all
+                # un-tileable batches) run the XLA-scan forward — faster
+                # than a plain vmap of the Pallas kernel at any measured
+                # batch size. An EXPLICIT "verlet_pallas" with
+                # batch_tiling={"max_batch": N} keeps Pallas numerics for
+                # small un-tileable batches (scenario sweeps) and only
+                # switches backend past its own cap.
+                reroute = _max_tiled_batch is not None and (
+                    oversized or was_auto
                 )
+                target = _fallback_solve() if reroute else _plain_solve
                 out = jax.vmap(target, in_axes=tuple(axes))(
                     state0, timepoints, control_params
                 )
@@ -945,18 +1039,38 @@ def setup_dynamic_solver(
             jax.custom_batching supports vmap-then-grad but not plain
             grad / vmap-of-grad, so an unconditional wrap would break
             single-design optimization; this dispatch keeps every
-            non-vmapped call (and vmap-of-grad, whose leaves are JVP
-            tracers wrapping batch tracers) on the plain solve with its
-            exact current semantics.
+            non-vmapped call (and vmap-of-grad over the differentiated
+            arguments only, whose leaves are JVP tracers wrapping batch
+            tracers) on the plain solve with its exact current semantics.
+
+            The one composition that cannot be routed anywhere is a MIXED
+            vmap-of-grad: some leaves batched raw (plain batch tracers,
+            e.g. a swept damping) while others are in-flight derivatives
+            (JVP tracers, the design under grad). custom_vmap's rule
+            cannot linearize that ("Linearization failed to produce known
+            values..."), so it is detected here and raised with the
+            workaround instead of the deep JAX error.
             """
 
             leaves = jax.tree.leaves((state0, timepoints, control_params))
             if BatchTracer and any(
                 isinstance(leaf, BatchTracer) for leaf in leaves
             ):
+                if ADTracers and any(
+                    isinstance(leaf, ADTracers) for leaf in leaves
+                ):
+                    raise NotImplementedError(
+                        "vmap-of-grad with additional non-differentiated "
+                        "batched arguments is not supported through the "
+                        "design-tiled batched path. Compute population "
+                        "gradients as ONE jax.vjp of the vmapped objective "
+                        "(see parallel/multistart.py), or disable tiling "
+                        "with batch_tiling='off' in setup_dynamic_solver."
+                    )
                 return _wrapped(state0, timepoints, control_params)
             return _plain_solve(state0, timepoints, control_params)
 
+        _dispatching_solve._tiling_fallback_cache = _fallback_cache
         solve_dynamics = _dispatching_solve
 
     solve_dynamics.dof_set = dof_set

@@ -278,24 +278,12 @@ def test_max_batch_routes_large_populations_to_ckpt(monkeypatch):
     )
 
 
-def test_ineligible_batch_with_max_batch_routes_to_ckpt(monkeypatch):
-    # Scenario-style vmap (batched drive amplitude) is not tileable; with
-    # fallback routing enabled it must run the ckpt forward, not a plain
-    # vmap of the Pallas kernel, still matching per-scenario solves.
-    from difflexmm_tpu.solver import dynamics
-
-    built_methods = []
-    orig_setup = dynamics.setup_dynamic_solver
-
-    def spy(**kwargs):
-        built_methods.append(kwargs.get("method"))
-        return orig_setup(**kwargs)
-
-    monkeypatch.setattr(dynamics, "setup_dynamic_solver", spy)
-
-    solve, state0, timepoints, cp_for, geo = _setup(
-        "verlet_pallas", batch_tiling=dict(max_batch=8)
-    )
+def test_ineligible_batch_auto_routes_to_ckpt():
+    # Scenario-style vmap (batched drive amplitude) is not tileable; under
+    # method="auto" (routing enabled, perf-first) it must run the ckpt
+    # forward, not a plain vmap of the Pallas kernel — the measured-worst
+    # strategy — still matching per-scenario solves.
+    solve, state0, timepoints, cp_for, geo = _setup("auto")
     solve_ref, *_ = _setup("verlet")
     design = geo.get_design_from_rotated_square(0.2)
     amps = [0.05, 0.1, 0.15]
@@ -303,10 +291,76 @@ def test_ineligible_batch_with_max_batch_routes_to_ckpt(monkeypatch):
         lambda *xs: jnp.stack(xs), *[cp_for(design, a) for a in amps]
     )
     out = jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps)
-    assert "verlet_ckpt" in built_methods
+    assert solve._tiling_fallback_cache, (
+        "auto + ineligible batch should have built the ckpt fallback"
+    )
     ref = jnp.stack(
         [solve_ref(state0, timepoints, cp_for(design, a)) for a in amps]
     )
     assert jnp.allclose(out, ref, atol=1e-6), float(
         jnp.max(jnp.abs(out - ref))
+    )
+
+
+def test_ineligible_small_batch_explicit_pallas_keeps_pallas():
+    # A user who EXPLICITLY chose verlet_pallas with a max_batch cap keeps
+    # Pallas numerics for un-tileable batches at or below the cap (the
+    # backend only switches past it) — solver/dynamics.py reroute rule.
+    solve, state0, timepoints, cp_for, geo = _setup(
+        "verlet_pallas", batch_tiling=dict(max_batch=8)
+    )
+    design = geo.get_design_from_rotated_square(0.2)
+    amps = [0.05, 0.1, 0.15]
+    cps = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[cp_for(design, a) for a in amps]
+    )
+    jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps)
+    assert not solve._tiling_fallback_cache, (
+        "3 <= max_batch=8 un-tileable scenarios must stay on the plain "
+        "Pallas vmap (user chose Pallas numerics explicitly)"
+    )
+    # ... and past the cap the fallback kicks in.
+    amps9 = [0.05 + 0.01 * i for i in range(9)]
+    cps9 = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[cp_for(design, a) for a in amps9]
+    )
+    jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps9)
+    assert solve._tiling_fallback_cache
+
+
+def test_mixed_vmap_of_grad_raises_named_error():
+    # vmap-of-grad whose batch carries EXTRA non-differentiated leaves
+    # (raw batch tracers alongside the design's AD tracers) cannot go
+    # through custom_vmap; the dispatcher must raise the named error with
+    # the vjp-of-vmap workaround, not the deep "Linearization failed"
+    # ValueError.
+    solve, state0, timepoints, cp_for, geo = _setup("verlet_pallas")
+    designs = _design_batch(geo, 3)
+    ds = jax.tree.map(lambda *xs: jnp.stack(xs), *designs)
+    damps = jnp.linspace(0.04, 0.06, 3)
+
+    def per_candidate_grad(d, damp):
+        def f(dd):
+            cp = cp_for(dd)
+            mp = cp.mechanical_params._replace(damping=damp)
+            sol = solve(state0, timepoints, cp._replace(mechanical_params=mp))
+            return jnp.sum(sol[-1, 1] ** 2)
+
+        return jax.grad(f)(d)
+
+    with pytest.raises(NotImplementedError, match="jax.vjp of the vmapped"):
+        jax.vmap(per_candidate_grad)(ds, damps)
+
+    # Pure vmap-of-grad over the design alone stays supported (routed to
+    # the plain solve, bypassing the tiler).
+    def design_only_grad(d):
+        def f(dd):
+            sol = solve(state0, timepoints, cp_for(dd))
+            return jnp.sum(sol[-1, 1] ** 2)
+
+        return jax.grad(f)(d)
+
+    g = jax.vmap(design_only_grad)(ds)
+    assert all(
+        bool(jnp.all(jnp.isfinite(leaf))) for leaf in jax.tree.leaves(g)
     )
