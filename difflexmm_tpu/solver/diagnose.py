@@ -35,7 +35,12 @@ class TunnelingReport(NamedTuple):
             barrier window ``cutoff_angle - min_angle`` — the tunneling
             risk metric. Values >= ~0.5 mean a substep can jump deep into
             (or across) the barrier in one step; ~>= 1 means it can cross
-            entirely.
+            entirely. Estimated from interval-ENDPOINT velocities at the
+            output sampling rate, so a velocity spike confined to the
+            interior of one interval — exactly the non-smooth blow-up
+            scenario — can be underestimated: a silent barrier crossing
+            that leaves both endpoints finite may go unflagged. Non-finite
+            endpoints are always flagged (NaN/inf map to fraction=inf).
         risky_intervals: (T-1,) bool, ``window_fraction >= threshold``.
     """
 
@@ -78,8 +83,11 @@ def contact_tunneling_report(
     fraction of that window in ONE substep, the integrator can step from
     "outside the barrier" to "next to the 1/x asymptote" (f32: inf force)
     or clean across it (silently missed contact). The per-interval rate is
-    estimated from the solved angular velocities — cheap, post-hoc, and
-    accurate to how the state actually moved.
+    estimated from the solved angular velocities at the interval ENDPOINTS
+    — cheap and post-hoc, but it can underestimate a spike confined to one
+    interval's interior: a silent crossing that leaves finite endpoints
+    may go unflagged (non-finite endpoints always flag). For in-the-loop
+    protection use the solver's ``guard`` option instead.
 
     Args:
         solution: (T, 2, n_blocks, 3) solver output (may contain NaNs).
@@ -108,8 +116,10 @@ def contact_tunneling_report(
     timepoints = jnp.asarray(timepoints, dtype=float)
     dt = jnp.diff(timepoints) / n_substeps  # (T-1,) substep lengths
 
-    # Max |angular velocity| over each interval's endpoints: the fastest
-    # any block's rotational DOF moves, conservative for smooth motion.
+    # Max |angular velocity| over each interval's endpoints. For smooth
+    # motion this bounds the interior; the caveat is a spike confined to
+    # the INTERIOR of one interval (the non-smooth blow-up case), which
+    # endpoint sampling can miss unless it leaves a non-finite endpoint.
     omega = jnp.abs(solution[:, 1, :, 2])  # (T, n_blocks)
     omega = jnp.nan_to_num(omega, nan=jnp.inf, posinf=jnp.inf)
     omega_iv = jnp.maximum(omega[:-1], omega[1:]).max(axis=1)  # (T-1,)

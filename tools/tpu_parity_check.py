@@ -22,6 +22,7 @@ backend is present (skipped on CPU CI).
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -502,7 +503,14 @@ def main():
     ok_flagship = flagship_parity(record)
     ok_auto = auto_method_gate(record)
     ok_kagome = kagome_parity(record)
-    ok_kagome_scale = kagome_scale_parity(record)
+    # The 48x40 kagome scale gate compiles fwd+grad on BOTH backends over
+    # the serialized remote-compile tunnel (~several extra minutes), so it
+    # is opt-in here; the pytest gate (tests/test_tpu_parity.py) always
+    # runs it under DIFFLEXMM_TESTS_TPU=1.
+    run_scale = os.environ.get("DIFFLEXMM_PARITY_SCALE", "") == "1"
+    ok_kagome_scale = kagome_scale_parity(record) if run_scale else True
+    if not run_scale:
+        record["kagome_scale_48x40"] = "skipped (set DIFFLEXMM_PARITY_SCALE=1)"
     ok_ckpt = verlet_ckpt_parity(record)
     ok_tiled = tiled_batching_parity(record)
     ok_tensile = tensile_oracle_f32(record)
