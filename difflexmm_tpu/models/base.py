@@ -164,6 +164,29 @@ def target_patch_ids(
     return (J * n1_blocks + I).reshape(-1)
 
 
+def resolve_model_guard(guard, min_angle, cutoff_angle, spacing):
+    """Resolve a model-level ``guard`` field into a solver guard spec.
+
+    ``None`` -> off; ``"auto"`` -> threshold from the contact-barrier
+    window (``cutoff_angle - min_angle``) with translational travel counted
+    at the lattice ``spacing``; a dict passes through (with ``window`` /
+    ``length_scale`` filled in when absent). See
+    solver.dynamics.setup_dynamic_solver's ``guard`` docs.
+    """
+
+    if guard is None:
+        return None
+    if guard == "auto":
+        guard = {}
+    elif not isinstance(guard, dict):
+        raise ValueError(f"guard must be None, 'auto', or a dict; got {guard!r}")
+    guard = dict(guard)
+    if "threshold" not in guard and "window" not in guard:
+        guard["window"] = float(cutoff_angle) - float(min_angle)
+    guard.setdefault("length_scale", float(spacing))
+    return guard
+
+
 def pulse(t, amplitude, loading_rate):
     """Raised-cosine displacement pulse of duration 1/loading_rate."""
 

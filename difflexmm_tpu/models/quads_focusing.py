@@ -100,6 +100,10 @@ class ForwardProblem:
     rtol: float = 1e-8
     # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
     pallas_interpret: bool = False
+    # Reactive substep escalation at contact force spikes ("auto" derives
+    # the threshold from the contact window and counts translational travel
+    # at the lattice spacing; or a dict — see setup_dynamic_solver).
+    guard: Any = None
 
     is_setup: bool = False
     name: str = "quads_focusing"
@@ -180,6 +184,9 @@ class ForwardProblem:
             rtol=self.rtol,
             quad_grid=quad_grid,
             pallas_interpret=self.pallas_interpret,
+            guard=base.resolve_model_guard(
+                self.guard, self.min_angle, self.cutoff_angle, self.spacing
+            ),
         )
 
         timepoints = jnp.linspace(0.0, self.simulation_time, self.n_timepoints)

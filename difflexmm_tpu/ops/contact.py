@@ -117,8 +117,15 @@ def contact_energy(
     x = (current_void_angles - cutoff_angle) / span
     # Clamp x to the active window before the reciprocals so the inactive
     # branch never produces inf/nan (which would poison gradients through
-    # jnp.where).
-    x_safe = jnp.clip(x, -1.0 + 1e-12, 0.0)
+    # jnp.where). The clamp margin MUST be resolvable in the compute dtype:
+    # in f32, -1.0 + 1e-12 rounds to exactly -1.0, so any void angle at or
+    # below min_angle divided by zero -> inf in the primal and 0 * inf ->
+    # NaN in the where-gradient chain — the root cause of the historical
+    # "f32 contact-tunneling NaN" (f64 resolved 1e-12 and crossed the
+    # asymptote harmlessly, reference semantics: zero energy below
+    # min_angle, /root/reference/difflexmm/energy.py:349-360).
+    eps = jnp.finfo(jnp.result_type(x)).eps
+    x_safe = jnp.clip(x, -1.0 + 64.0 * eps, 0.0)
     barrier = k_contact / 4 * span**2 * (
         1.0 / (x_safe + 1.0) - 1.0 / (x_safe - 1.0) - 2.0
     )

@@ -236,13 +236,15 @@ def build_pallas_verlet_trajectory(
     forward_impl: str = "pallas",
     tiled: bool = False,
     backward_impl: str = "xla",
+    guard=None,
 ):
     """Chunked whole-trajectory fused quad kernel; see
     core.build_verlet_trajectory. ``load_values_fn`` fuses time-dependent
     force loading (fixed leaves gain a trailing L_chan/L_row/L_col scatter).
     ``tiled``: design-tiled batched layout (ops/pallas/tiling.py) — planes
     carry (B1, n2, B2*n1) and the fixed leaves gain the horizontal seam
-    contact mask after the contact scalars."""
+    contact mask after the contact scalars. ``guard``: reactive substep
+    escalation spec (core.resolve_guard; theta is plane channel 2)."""
 
     n_fixed = (
         N_FIXED_ARRAYS
@@ -260,4 +262,5 @@ def build_pallas_verlet_trajectory(
         chunk=chunk,
         forward_impl=forward_impl,
         backward_impl=backward_impl,
+        guard=core.resolve_guard(guard, theta_channels=(2,)),
     )

@@ -253,9 +253,11 @@ def build_pallas_kagome_trajectory(
     interpret: bool = False,
     chunk: int = None,
     forward_impl: str = "pallas",
+    guard=None,
 ):
     """Chunked whole-trajectory fused kagome kernel; see
-    core.build_verlet_trajectory."""
+    core.build_verlet_trajectory. ``guard``: reactive substep escalation
+    (core.resolve_guard; theta lives in plane channels 2 and 5)."""
 
     n_fixed = N_FIXED_ARRAYS + (3 if load_values_fn is not None else 0)
     return core.build_verlet_trajectory(
@@ -268,4 +270,5 @@ def build_pallas_kagome_trajectory(
         interpret=interpret,
         chunk=chunk,
         forward_impl=forward_impl,
+        guard=core.resolve_guard(guard, theta_channels=(2, 5)),
     )

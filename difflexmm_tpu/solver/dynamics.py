@@ -202,6 +202,72 @@ def _integrate_verlet(
     return jnp.concatenate([y0[None], ys])
 
 
+def _make_batch_dispatcher(plain_solve, wrapped):
+    """Route to a ``jax.custom_batching`` wrapped solve ONLY when called
+    under an ambient jax.vmap (argument leaves are batch tracers).
+
+    jax.custom_batching supports vmap-then-grad but not plain grad /
+    vmap-of-grad, so an unconditional wrap would break single-design
+    optimization; this dispatch keeps every non-vmapped call (and
+    vmap-of-grad over the differentiated arguments only, whose leaves are
+    AD tracers wrapping batch tracers) on the plain solve with its exact
+    current semantics.
+
+    The one composition that cannot be routed anywhere is a MIXED
+    vmap-of-grad: some leaves batched raw (plain batch tracers, e.g. a
+    swept damping) while others are in-flight derivatives (AD tracers,
+    the design under grad). custom_vmap's rule cannot linearize that
+    ("Linearization failed to produce known values..."), so it is
+    detected here and raised with the workaround instead of the deep JAX
+    error.
+    """
+
+    try:
+        # Private-API seam (pinned by tests/test_tiled_batching.py): used
+        # only to DETECT an ambient vmap at call time, so the fail-safe on
+        # a JAX upgrade is "no routing", never wrong math.
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # pragma: no cover - fail-safe on JAX upgrade
+        BatchTracer = ()
+    try:
+        # Same seam, for detecting an in-flight grad/jvp mixed with an
+        # ambient vmap (the one composition custom_vmap cannot take).
+        # grad leaves are JVPTracer (jvp) or LinearizeTracer (vjp
+        # linearization) depending on the JAX version/path.
+        from jax._src.interpreters import ad as _ad
+
+        ADTracers = tuple(
+            t for t in (
+                getattr(_ad, "JVPTracer", None),
+                getattr(_ad, "LinearizeTracer", None),
+            )
+            if t is not None
+        )
+    except ImportError:  # pragma: no cover - fail-safe on JAX upgrade
+        ADTracers = ()
+
+    def _dispatching_solve(state0, timepoints, control_params):
+        leaves = jax.tree.leaves((state0, timepoints, control_params))
+        if BatchTracer and any(
+            isinstance(leaf, BatchTracer) for leaf in leaves
+        ):
+            if ADTracers and any(
+                isinstance(leaf, ADTracers) for leaf in leaves
+            ):
+                raise NotImplementedError(
+                    "vmap-of-grad with additional non-differentiated "
+                    "batched arguments is not supported through the "
+                    "batched-population routing path. Compute population "
+                    "gradients as ONE jax.vjp of the vmapped objective "
+                    "(see parallel/multistart.py), or disable routing "
+                    "with batch_tiling='off' in setup_dynamic_solver."
+                )
+            return wrapped(state0, timepoints, control_params)
+        return plain_solve(state0, timepoints, control_params)
+
+    return _dispatching_solve
+
+
 def _resolve_inertia(control_params: ControlParams) -> jnp.ndarray:
     mp = control_params.mechanical_params
     if mp.inertia is None:
@@ -290,9 +356,9 @@ def setup_dynamic_solver(
             force spikes (reference difflexmm/dynamics.py:166). A dict with
             ``threshold`` (max rotational travel per substep, rad) or
             ``window`` (the contact barrier window; threshold =
-            ``fraction * window``, fraction default 0.1), plus optional
+            ``fraction * window``, fraction default 0.02), plus optional
             ``refine`` (micro-steps per risky substep, default 16),
-            ``levels`` (recursion depth, default 1), and ``length_scale``
+            ``levels`` (recursion depth, default 2), and ``length_scale``
             (count translational motion as travel / length_scale). See
             ops/pallas/core.resolve_guard. Substeps predicted to cross a
             large fraction of the barrier window re-run as micro-steps, so
@@ -963,30 +1029,6 @@ def setup_dynamic_solver(
                 ys = jnp.stack([u, v], axis=2)
             return ys[:B]
 
-        try:
-            # Private-API seam (pinned by tests/test_tiled_batching.py):
-            # used only to DETECT an ambient vmap at call time, so the
-            # fail-safe on a JAX upgrade is "no tiling", never wrong math.
-            from jax._src.interpreters.batching import BatchTracer
-        except ImportError:  # pragma: no cover - fail-safe on JAX upgrade
-            BatchTracer = ()
-        try:
-            # Same seam, for detecting an in-flight grad/jvp mixed with an
-            # ambient vmap (the one composition custom_vmap cannot take).
-            # grad leaves are JVPTracer (jvp) or LinearizeTracer (vjp
-            # linearization) depending on the JAX version/path.
-            from jax._src.interpreters import ad as _ad
-
-            ADTracers = tuple(
-                t for t in (
-                    getattr(_ad, "JVPTracer", None),
-                    getattr(_ad, "LinearizeTracer", None),
-                )
-                if t is not None
-            )
-        except ImportError:  # pragma: no cover - fail-safe on JAX upgrade
-            ADTracers = ()
-
         _wrapped = custom_batching.custom_vmap(_plain_solve)
 
         @_wrapped.def_vmap
@@ -1032,46 +1074,61 @@ def setup_dynamic_solver(
                 True,
             )
 
-        def _dispatching_solve(state0, timepoints, control_params):
-            """Route to the design-tiled custom_vmap path ONLY when called
-            under an ambient jax.vmap (argument leaves are batch tracers).
+        solve_dynamics = _make_batch_dispatcher(_plain_solve, _wrapped)
+        solve_dynamics._tiling_fallback_cache = _fallback_cache
 
-            jax.custom_batching supports vmap-then-grad but not plain
-            grad / vmap-of-grad, so an unconditional wrap would break
-            single-design optimization; this dispatch keeps every
-            non-vmapped call (and vmap-of-grad over the differentiated
-            arguments only, whose leaves are JVP tracers wrapping batch
-            tracers) on the plain solve with its exact current semantics.
+    elif (
+        method == "verlet_pallas"
+        and kagome_grid is not None
+        and batch_tiling != "off"
+        and (was_auto or isinstance(batch_tiling, dict))
+    ):
+        # Kagome has no design-tiled layout (the 6-plane kernel packs
+        # cells, not designs); routing here is the measured population
+        # dispatch: vmapping the SoA Pallas kernel is the worst batching
+        # strategy at any size (the kernel's (n2, n1) tiles are mostly
+        # lane padding under vmap — KAGOME_MULTISTART.json / bench.py
+        # kagome sweep), so method="auto" reroutes ALL vmapped
+        # populations to a lazily built verlet_ckpt sibling; an explicit
+        # "verlet_pallas" keeps Pallas numerics up to
+        # batch_tiling={"max_batch": N} and reroutes past it.
+        from jax import custom_batching
 
-            The one composition that cannot be routed anywhere is a MIXED
-            vmap-of-grad: some leaves batched raw (plain batch tracers,
-            e.g. a swept damping) while others are in-flight derivatives
-            (JVP tracers, the design under grad). custom_vmap's rule
-            cannot linearize that ("Linearization failed to produce known
-            values..."), so it is detected here and raised with the
-            workaround instead of the deep JAX error.
-            """
+        _plain_solve = solve_dynamics
+        _tile_cfg = batch_tiling if isinstance(batch_tiling, dict) else {}
+        _max_routing_batch = _tile_cfg.get("max_batch", 0 if was_auto else None)
+        _fallback_method = _tile_cfg.get("fallback_method", "verlet_ckpt")
+        _fallback_cache = {}
 
-            leaves = jax.tree.leaves((state0, timepoints, control_params))
-            if BatchTracer and any(
-                isinstance(leaf, BatchTracer) for leaf in leaves
-            ):
-                if ADTracers and any(
-                    isinstance(leaf, ADTracers) for leaf in leaves
-                ):
-                    raise NotImplementedError(
-                        "vmap-of-grad with additional non-differentiated "
-                        "batched arguments is not supported through the "
-                        "design-tiled batched path. Compute population "
-                        "gradients as ONE jax.vjp of the vmapped objective "
-                        "(see parallel/multistart.py), or disable tiling "
-                        "with batch_tiling='off' in setup_dynamic_solver."
-                    )
-                return _wrapped(state0, timepoints, control_params)
-            return _plain_solve(state0, timepoints, control_params)
+        def _kagome_fallback_solve():
+            if "solve" not in _fallback_cache:
+                _fallback_cache["solve"] = setup_dynamic_solver(
+                    method=_fallback_method,
+                    batch_tiling="off",
+                    **_setup_kwargs,
+                )
+            return _fallback_cache["solve"]
 
-        _dispatching_solve._tiling_fallback_cache = _fallback_cache
-        solve_dynamics = _dispatching_solve
+        _kwrapped = custom_batching.custom_vmap(solve_dynamics)
+
+        @_kwrapped.def_vmap
+        def _kagome_vmap_rule(
+            axis_size, in_batched, state0, timepoints, control_params
+        ):
+            axes = jax.tree.map(lambda b: 0 if b else None, in_batched)
+            reroute = (
+                _max_routing_batch is not None
+                and axis_size > _max_routing_batch
+            )
+            target = _kagome_fallback_solve() if reroute else _plain_solve
+            out = jax.vmap(target, in_axes=tuple(axes))(
+                state0, timepoints, control_params
+            )
+            return out, True
+
+        if _max_routing_batch is not None:
+            solve_dynamics = _make_batch_dispatcher(_plain_solve, _kwrapped)
+            solve_dynamics._tiling_fallback_cache = _fallback_cache
 
     solve_dynamics.dof_set = dof_set
     solve_dynamics.rhs = rhs
