@@ -49,7 +49,7 @@ def _setup(method, n1=4, n2=3, n_substeps=8, k_arrays=False, **kwargs):
         n_substeps=n_substeps,
         kagome_grid=(
             dict(n1=n1, n2=n2, linearized=False)
-            if method in ("verlet_pallas", "verlet_ckpt")
+            if method in ("verlet_pallas", "verlet_ckpt", "auto")
             else None
         ),
         **kwargs,
@@ -252,3 +252,78 @@ def test_kagome_fused_force_loading_matches_verlet():
     v_pal, g_pal = jax.value_and_grad(obj(solve_pal))(0.01)
     assert jnp.allclose(v_pal, v_ref, rtol=1e-6)
     assert jnp.allclose(g_pal, g_ref, rtol=1e-5)
+
+
+def test_kagome_auto_population_routes_to_ckpt():
+    """Kagome has no design-tiled layout; under method="auto" a vmapped
+    population must reroute to the lazily built verlet_ckpt sibling (a
+    plain vmap of the SoA Pallas kernel is the measured-worst batching
+    strategy), matching per-design solves exactly."""
+
+    solve, state0, timepoints, cp, design, _ = _setup(
+        "auto", pallas_interpret=True,
+    )
+    solve_ref, *_ = _setup("verlet")
+
+    ks = jnp.array([0.9, 1.0, 1.1])
+    cps = jax.vmap(
+        lambda k: cp._replace(
+            mechanical_params=cp.mechanical_params._replace(
+                bond_params=cp.mechanical_params.bond_params._replace(
+                    k_stretch=k
+                )
+            )
+        )
+    )(ks)
+    out = jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps)
+    assert solve._tiling_fallback_cache, (
+        "auto kagome population should have built the ckpt fallback"
+    )
+    ref = jnp.stack([
+        solve_ref(
+            state0, timepoints,
+            cp._replace(
+                mechanical_params=cp.mechanical_params._replace(
+                    bond_params=cp.mechanical_params.bond_params._replace(
+                        k_stretch=float(k)
+                    )
+                )
+            ),
+        )
+        for k in ks
+    ])
+    assert float(jnp.max(jnp.abs(ref))) > 1e-5
+    assert jnp.allclose(out, ref, atol=1e-6), float(jnp.max(jnp.abs(out - ref)))
+
+
+def test_kagome_explicit_pallas_keeps_pallas_below_cap():
+    """Explicit verlet_pallas with a max_batch cap keeps Pallas numerics
+    for populations at or below the cap and reroutes past it."""
+
+    solve, state0, timepoints, cp, design, _ = _setup(
+        "verlet_pallas",
+        pallas_interpret=True,
+        batch_tiling=dict(max_batch=2),
+    )
+    ks2 = jnp.array([0.9, 1.1])
+
+    def cps_for(ks):
+        return jax.vmap(
+            lambda k: cp._replace(
+                mechanical_params=cp.mechanical_params._replace(
+                    bond_params=cp.mechanical_params.bond_params._replace(
+                        k_stretch=k
+                    )
+                )
+            )
+        )(ks)
+
+    jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps_for(ks2))
+    assert not solve._tiling_fallback_cache, (
+        "2 <= max_batch=2 must stay on the plain Pallas vmap"
+    )
+    ks3 = jnp.array([0.9, 1.0, 1.1])
+    jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps_for(ks3))
+    assert solve._tiling_fallback_cache, (
+        "3 > max_batch=2 must reroute to the verlet_ckpt sibling"
+    )
