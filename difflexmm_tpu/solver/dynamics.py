@@ -44,10 +44,11 @@ _EMPTY_PAIRS = np.zeros((0, 2), dtype=np.int64)
 FAST_METHODS = ("verlet_pallas", "verlet_ckpt", "auto")
 
 # Measured crossover of the design-tiled Pallas kernel vs the XLA-scan
-# forward under vmap (TILED_MULTISTART.json, v5e, flagship 24x16/200tp):
-# tiled wins fwd+grad up to B ~ 100 (267 vs 108 designs/s at B=40); the
-# lane-packed XLA scan wins beyond (345 vs 295 at B >= 120). ``auto``
-# routes vmapped populations larger than this to "verlet_ckpt".
+# forward under vmap (TILED_MULTISTART.json holds BOTH halves, v5e,
+# flagship 24x16/200tp): tiled wins fwd+grad up to B ~ 100 (277 vs 112
+# designs/s at B=40); the lane-packed XLA scan wins beyond (329 vs 295
+# at B >= 120; fwd-only 1731 vs 1505 at B=240). ``auto`` routes vmapped
+# populations larger than this to "verlet_ckpt".
 _AUTO_MAX_TILED_BATCH = 96
 
 

@@ -97,9 +97,10 @@ def main():
     }
     strategies = {}
     if not args.skip_pallas_vmap:
-        strategies["pallas_vmap"] = build(
-            "verlet_pallas", batch_tiling="off"
-        )
+        # Explicit verlet_pallas without a max_batch dict installs no
+        # routing (solver/dynamics.py kagome branch), so vmap hits the
+        # raw SoA kernel — the strategy being measured.
+        strategies["pallas_vmap"] = build("verlet_pallas")
     strategies["ckpt_vmap"] = build("verlet_ckpt")
     strategies["auto"] = build("auto")
 
