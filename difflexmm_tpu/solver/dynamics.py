@@ -856,11 +856,17 @@ def setup_dynamic_solver(
 
         def _fallback_solve():
             if "solve" not in _fallback_cache:
-                _fallback_cache["solve"] = setup_dynamic_solver(
-                    method=_fallback_method,
-                    batch_tiling="off",
-                    **_setup_kwargs,
-                )
+                # The lazy build runs INSIDE the custom_vmap rule, i.e.
+                # within whatever trace the user's solve call sits in.
+                # Under jit every jnp op in the setup would be staged as a
+                # tracer and the setup's np conversions would raise
+                # TracerArrayConversionError — force eager evaluation.
+                with jax.ensure_compile_time_eval():
+                    _fallback_cache["solve"] = setup_dynamic_solver(
+                        method=_fallback_method,
+                        batch_tiling="off",
+                        **_setup_kwargs,
+                    )
             return _fallback_cache["solve"]
 
         def _tiled_solve(state0, s0_batched, timepoints, cp, cp_bools, B):
@@ -1103,11 +1109,14 @@ def setup_dynamic_solver(
 
         def _kagome_fallback_solve():
             if "solve" not in _fallback_cache:
-                _fallback_cache["solve"] = setup_dynamic_solver(
-                    method=_fallback_method,
-                    batch_tiling="off",
-                    **_setup_kwargs,
-                )
+                # See _fallback_solve: the build must evaluate eagerly
+                # even when the rule fires inside a jit trace.
+                with jax.ensure_compile_time_eval():
+                    _fallback_cache["solve"] = setup_dynamic_solver(
+                        method=_fallback_method,
+                        batch_tiling="off",
+                        **_setup_kwargs,
+                    )
             return _fallback_cache["solve"]
 
         _kwrapped = custom_batching.custom_vmap(solve_dynamics)

@@ -76,6 +76,12 @@ def build(n1: int, n2: int, horizon: int, loading_rate: float = 0.25,
         k_contact=1e-3,
         min_angle=-15 * jnp.pi / 180,
         cutoff_angle=-10 * jnp.pi / 180,
+        # Reactive substep escalation: long-horizon re-simulation of
+        # designs optimized at a shorter horizon can hit force spikes the
+        # fixed step would blow up on; the guard re-runs those substeps as
+        # micro-steps (the reference's adaptive odeint shrinks dt — see
+        # TUNNELING.json for the flagship case table).
+        guard="auto",
         method=method
         or ("verlet_pallas" if jax.default_backend() == "tpu" else "verlet"),
         # Keep the corner clamps clear of the centered driven strip on

@@ -327,3 +327,39 @@ def test_kagome_explicit_pallas_keeps_pallas_below_cap():
     assert solve._tiling_fallback_cache, (
         "3 > max_batch=2 must reroute to the verlet_ckpt sibling"
     )
+
+
+def test_kagome_auto_population_routes_under_jit():
+    """The lazy ckpt-fallback build inside the custom_vmap rule must work
+    under jit (jax.ensure_compile_time_eval in dynamics.py — without it,
+    setup's np conversions raise TracerArrayConversionError, found via
+    the kagome multistart bench on TPU)."""
+
+    solve, state0, timepoints, cp, design, _ = _setup(
+        "auto", pallas_interpret=True,
+    )
+    ks = jnp.array([0.9, 1.0, 1.1])
+
+    def cps_for(k):
+        return cp._replace(
+            mechanical_params=cp.mechanical_params._replace(
+                bond_params=cp.mechanical_params.bond_params._replace(
+                    k_stretch=k
+                )
+            )
+        )
+
+    @jax.jit
+    def run(kk):
+        cps = jax.vmap(cps_for)(kk)
+        return jax.vmap(solve, in_axes=(None, None, 0))(
+            state0, timepoints, cps
+        )
+
+    out = run(ks)
+    assert solve._tiling_fallback_cache
+    solve_ref, *_ = _setup("verlet")
+    ref = jnp.stack(
+        [solve_ref(state0, timepoints, cps_for(float(k))) for k in ks]
+    )
+    assert jnp.allclose(out, ref, atol=1e-6), float(jnp.max(jnp.abs(out - ref)))

@@ -364,3 +364,32 @@ def test_mixed_vmap_of_grad_raises_named_error():
     assert all(
         bool(jnp.all(jnp.isfinite(leaf))) for leaf in jax.tree.leaves(g)
     )
+
+
+def test_jitted_oversized_population_builds_fallback():
+    # The lazy verlet_ckpt fallback is built INSIDE the custom_vmap rule,
+    # i.e. inside whatever trace the solve call sits in. Under jit, setup
+    # would stage its jnp ops as tracers and its np conversions raised
+    # TracerArrayConversionError (found via the kagome auto bench on
+    # TPU); dynamics.py wraps the build in jax.ensure_compile_time_eval.
+    solve, state0, timepoints, cp_for, geo = _setup(
+        "verlet_pallas", batch_tiling=dict(max_batch=2)
+    )
+    solve_ref, *_ = _setup("verlet")
+    designs = _design_batch(geo, 4)
+    cps = _stack_cps(cp_for, designs)
+
+    @jax.jit
+    def run(c):
+        return jax.vmap(solve, in_axes=(None, None, 0))(
+            state0, timepoints, c
+        )
+
+    out = run(cps)
+    assert solve._tiling_fallback_cache
+    ref = jnp.stack(
+        [solve_ref(state0, timepoints, cp_for(d)) for d in designs]
+    )
+    assert jnp.allclose(out, ref, atol=1e-6), float(
+        jnp.max(jnp.abs(out - ref))
+    )
