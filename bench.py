@@ -151,7 +151,14 @@ def _measure_batched(B=128, optimization=None, design=None):
         * (1 + 1e-3 * jnp.arange(B).reshape((B,) + (1,) * x.ndim)),
         design,
     )
-    vag = jax.jit(jax.vmap(jax.value_and_grad(optimization.objective_fn)))
+    # Production gradient order: the population vjp, backward-chunked at
+    # the measured sweet spot (parallel/multistart.population_value_and_grad
+    # — 371 vs 289 designs/s at B=1024).
+    from difflexmm_tpu.parallel.multistart import population_value_and_grad
+
+    vag = jax.jit(
+        lambda ds: population_value_and_grad(optimization.objective_fn, ds)
+    )
     jax.block_until_ready(vag(designs)[0])
     t0 = time.perf_counter()
     for _ in range(3):

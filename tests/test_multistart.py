@@ -278,3 +278,32 @@ def test_multistart_mma_raises_on_nonfinite_initial_candidate():
             objective_and_grad, designs, -2.0 * jnp.ones(2),
             2.0 * jnp.ones(2), n_iterations=5,
         )
+
+
+def test_population_value_and_grad_chunked_matches_straight():
+    """Backward chunking (population_value_and_grad grad_chunk) is a pure
+    scheduling change: values and per-candidate gradients must match the
+    single whole-population vjp bit-for-bit-ish (same math, different
+    loop nesting)."""
+
+    from difflexmm_tpu.parallel.multistart import population_value_and_grad
+
+    def objective(x):
+        return jnp.sum(jnp.sin(x["a"])) * jnp.sum(x["b"] ** 2)
+
+    key = jax.random.PRNGKey(1)
+    designs = {
+        "a": jax.random.normal(key, (8, 5)),
+        "b": jax.random.normal(jax.random.PRNGKey(2), (8, 3)),
+    }
+    v0, g0 = population_value_and_grad(objective, designs, grad_chunk=None)
+    v1, g1 = population_value_and_grad(objective, designs, grad_chunk=2)
+    assert jnp.allclose(v0, v1, rtol=1e-12)
+    for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert jnp.allclose(l0, l1, rtol=1e-12)
+    # auto on a small population = single vjp (no chunking surprises)
+    v2, g2 = population_value_and_grad(objective, designs)
+    assert jnp.array_equal(v0, v2)
+    # indivisible chunk falls back to the single vjp
+    v3, _ = population_value_and_grad(objective, designs, grad_chunk=3)
+    assert jnp.array_equal(v0, v3)

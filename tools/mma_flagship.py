@@ -127,7 +127,7 @@ def flagship(n_iterations: int = 80, guarded: bool = False):
     _save(record)
 
 
-def _downsized(n1=10, n2=8):
+def _downsized(n1=8, n2=6):
     """Downsized paper-physics focusing problem for the SLSQP cross-check."""
 
     import jax.numpy as jnp
@@ -141,7 +141,7 @@ def _downsized(n1=10, n2=8):
     dt_out = cfg["simulation_time"] / (cfg["n_timepoints"] - 1)
     cfg.update(
         n1_blocks=n1, n2_blocks=n2,
-        n_timepoints=60, simulation_time=59 * dt_out,
+        n_timepoints=40, simulation_time=39 * dt_out,
         # paper_config bakes the flagship block count into the per-DOF
         # damping array; one row broadcasts to any lattice size.
         damping=cfg["damping"][0],
