@@ -163,6 +163,10 @@ def _characterization_setup(self, geometry, block_centroids, centroid_node_vecto
             rtol=self.rtol,
             quad_grid=quad_grid,
             pallas_interpret=self.pallas_interpret,
+            guard=base.resolve_model_guard(
+                getattr(self, "guard", None), self.min_angle,
+                self.cutoff_angle, self.spacing,
+            ),
         )
 
     timepoints = jnp.linspace(0.0, 1.0 / self.loading_rate, self.n_timepoints)
@@ -289,6 +293,9 @@ class ForwardProblem(_CharacterizationForwardMixin):
     rtol: float = 1e-8
     # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
     pallas_interpret: bool = False
+    # Reactive substep escalation at force spikes ("auto" derives the
+    # threshold from the contact window; see setup_dynamic_solver).
+    guard: Any = None
 
     name: str = "hinge_characterization"
     is_setup: bool = False
@@ -355,6 +362,9 @@ class ForwardProblemQuads(_CharacterizationForwardMixin):
     rtol: float = 1e-8
     # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
     pallas_interpret: bool = False
+    # Reactive substep escalation at force spikes ("auto" derives the
+    # threshold from the contact window; see setup_dynamic_solver).
+    guard: Any = None
 
     name: str = "hinge_characterization_quads"
     is_setup: bool = False

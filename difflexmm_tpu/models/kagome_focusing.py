@@ -113,6 +113,10 @@ class ForwardProblem:
     rtol: float = 1e-8
     # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
     pallas_interpret: bool = False
+    # Reactive substep escalation at force spikes ("auto" derives the
+    # threshold from the contact window, travel scaled by the cell size;
+    # or a dict — see setup_dynamic_solver).
+    guard: Any = None
 
     is_setup: bool = False
     name: str = "kagome_focusing"
@@ -201,6 +205,9 @@ class ForwardProblem:
             rtol=self.rtol,
             kagome_grid=kagome_grid,
             pallas_interpret=self.pallas_interpret,
+            guard=base.resolve_model_guard(
+                self.guard, self.min_angle, self.cutoff_angle, self.cell_size
+            ),
         )
 
         timepoints = jnp.linspace(0.0, self.simulation_time, self.n_timepoints)

@@ -98,6 +98,9 @@ class ForwardProblem:
     rtol: float = 1e-8
     # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
     pallas_interpret: bool = False
+    # Reactive substep escalation at force spikes ("auto" derives the
+    # threshold from the contact window; see setup_dynamic_solver).
+    guard: Any = None
 
     is_setup: bool = False
     name: str = "quads_kinetic_energy_static_tuning"
@@ -203,6 +206,9 @@ class ForwardProblem:
             rtol=self.rtol,
             quad_grid=quad_grid,
             pallas_interpret=self.pallas_interpret,
+            guard=base.resolve_model_guard(
+                self.guard, self.min_angle, self.cutoff_angle, self.spacing
+            ),
         )
 
         state0 = jnp.zeros((2, geometry.n_blocks, 3))

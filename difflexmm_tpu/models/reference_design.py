@@ -81,6 +81,9 @@ class ForwardProblem:
     rtol: float = 1e-8
     # Interpreter-mode Pallas (CPU parity tests; no effect on other methods).
     pallas_interpret: bool = False
+    # Reactive substep escalation at force spikes ("auto" derives the
+    # threshold from the contact window; see setup_dynamic_solver).
+    guard: Any = None
 
     is_setup: bool = False
     name: str = "reference_design"
@@ -158,6 +161,9 @@ class ForwardProblem:
             rtol=self.rtol,
             quad_grid=quad_grid,
             pallas_interpret=self.pallas_interpret,
+            guard=base.resolve_model_guard(
+                self.guard, self.min_angle, self.cutoff_angle, self.spacing
+            ),
         )
 
         timepoints = jnp.linspace(0.0, self.simulation_time, self.n_timepoints)

@@ -268,7 +268,7 @@ def guard_travel(V, A, dt, guard):
     return t
 
 
-def make_guarded_stepper(one_step, travel_fn, guard):
+def make_guarded_stepper(one_step, travel_fn, guard, remat: bool = True):
     """Wrap a single Verlet step with reactive substep escalation.
 
     ``one_step(carry, t_start, dt) -> carry`` advances by dt;
@@ -280,8 +280,19 @@ def make_guarded_stepper(one_step, travel_fn, guard):
     that step, but the refined replay inside the adjoint stays consistent).
 
     Differentiable: ``lax.cond`` supports reverse-mode; under ``vmap`` it
-    becomes a select (both branches run), which is why batched multi-start
-    drivers should prefer un-guarded solvers unless their physics needs it.
+    becomes a select (both branches run — per substep that is
+    1 + refine*(1+refine) one_steps at the defaults, a ~270x cost), which
+    is why batched multi-start drivers should prefer un-guarded screening
+    plus guarded re-evaluation of finalists.
+
+    Replay caveat: with ``forward_impl="pallas"`` the stored-state adjoint
+    replays the interval in XLA; Mosaic and XLA are not bit-identical, so
+    a substep whose travel sits exactly AT the threshold can replay the
+    other branch. Both branches integrate the same dynamics (the fine one
+    merely refines dt), so the mismatch is bounded by the branch
+    difference at a near-threshold substep — far from the spikes the
+    guard exists for — but bit-level forward/backward consistency is only
+    guaranteed for ``verlet``/``verlet_ckpt`` (XLA forward).
     """
 
     threshold = guard["threshold"]
@@ -297,6 +308,14 @@ def make_guarded_stepper(one_step, travel_fn, guard):
             _, V, A = carry
             risk = ~(travel_fn(V, A, dt) <= threshold)
 
+            # Rematerialized (remat=True): without it, reverse-mode stores
+            # every micro-step's residuals (refine**levels per risky
+            # substep — the guarded adjoint measured ~1000x the unguarded
+            # one); checkpointing stores only the branch inputs and
+            # replays the micro-loop in the backward. remat=False is for
+            # the Mosaic kernel body: the remat2 primitive has no Pallas
+            # TPU lowering, and the kernel forward is never differentiated
+            # through anyway (its adjoint replays the XLA body).
             def fine(c):
                 ddt = dt / refine
 
@@ -304,6 +323,9 @@ def make_guarded_stepper(one_step, travel_fn, guard):
                     return inner(c2, t_start + j * ddt, ddt)
 
                 return lax.fori_loop(0, refine, micro, c)
+
+            if remat:
+                fine = jax.checkpoint(fine)
 
             def coarse(c):
                 return one_step(c, t_start, dt)
@@ -321,6 +343,7 @@ def make_interval_body(
     force: Callable,
     has_loading: bool = False,
     guard=None,
+    guard_remat: bool = True,
 ):
     """All n_substeps Verlet steps on plane states (single source of truth
     for the Pallas kernel and the XLA rematerialization path).
@@ -355,6 +378,7 @@ def make_interval_body(
                 one_step,
                 lambda V, A, ddt: guard_travel(V, A, ddt, guard),
                 guard,
+                remat=guard_remat,
             )
 
         def step(i, carry):
@@ -457,7 +481,13 @@ def build_verlet_trajectory(
     n_int = T - 1
     has_loading = load_values_fn is not None
     force = make_force_fn(n_fixed, energy_of, drive_values_fn, load_values_fn)
+    # Two bodies, one physics: the XLA body keeps jax.checkpoint on the
+    # guard's fine branch (adjoint memory); the Mosaic kernel body must
+    # not (remat2 has no Pallas TPU lowering) and is forward-only anyway.
     body = make_interval_body(n_fixed, n_substeps, force, has_loading, guard)
+    kernel_body = make_interval_body(
+        n_fixed, n_substeps, force, has_loading, guard, guard_remat=False
+    )
 
     def pallas_forward(carry, timepoints, arrays):
         U0, V0, A0 = carry
@@ -493,7 +523,7 @@ def build_verlet_trajectory(
                     k_safe = jnp.minimum(k, n_int - 1)
                     t0 = ts_ref[k_safe, 0]
                     t1 = ts_ref[k_safe + 1, 0]
-                    U1, V1, A1 = body(
+                    U1, V1, A1 = kernel_body(
                         U, V, A, t0, (t1 - t0) / n_substeps, arrays_k
                     )
                     U1 = jnp.where(valid, U1, U)

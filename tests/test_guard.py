@@ -204,3 +204,39 @@ def test_guard_rejects_non_verlet_methods(harness):
     mk, *_ = harness
     with pytest.raises(ValueError, match="fixed-step Verlet"):
         mk("odeint", 2, guard=GUARD)
+
+
+def test_all_model_families_accept_guard():
+    """Every model family's ForwardProblem carries the guard field
+    (README advertises guard='auto' for any quad/kagome model)."""
+
+    import dataclasses
+
+    from difflexmm_tpu.models import (
+        hinge_characterization,
+        kagome_focusing,
+        quads_focusing,
+        quads_static_tuning,
+        reference_design,
+    )
+
+    classes = [
+        quads_focusing.ForwardProblem,
+        kagome_focusing.ForwardProblem,
+        reference_design.ForwardProblem,
+        quads_static_tuning.ForwardProblem,
+    ]
+    classes += [
+        obj
+        for name in dir(hinge_characterization)
+        for obj in [getattr(hinge_characterization, name)]
+        if isinstance(obj, type)
+        and dataclasses.is_dataclass(obj)
+        and any(
+            f.name == "pallas_interpret" for f in dataclasses.fields(obj)
+        )
+    ]
+    assert len(classes) >= 6, [c.__name__ for c in classes]
+    for cls in classes:
+        names = {f.name for f in dataclasses.fields(cls)}
+        assert "guard" in names, cls.__name__
