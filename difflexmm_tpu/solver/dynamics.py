@@ -203,6 +203,30 @@ def _integrate_verlet(
     return jnp.concatenate([y0[None], ys])
 
 
+def _lazy_fallback(setup_kwargs, method):
+    """Lazily built sibling solver for population rerouting.
+
+    The build runs INSIDE the custom_vmap rule, i.e. within whatever
+    trace the user's solve call sits in; under jit every jnp op in the
+    setup would be staged as a tracer and the setup's np conversions
+    would raise TracerArrayConversionError — so the build is forced
+    eager. Returns (builder, cache) — the cache dict is exposed on the
+    dispatching solve for test introspection.
+    """
+
+    cache = {}
+
+    def build():
+        if "solve" not in cache:
+            with jax.ensure_compile_time_eval():
+                cache["solve"] = setup_dynamic_solver(
+                    method=method, batch_tiling="off", **setup_kwargs
+                )
+        return cache["solve"]
+
+    return build, cache
+
+
 def _make_batch_dispatcher(plain_solve, wrapped):
     """Route to a ``jax.custom_batching`` wrapped solve ONLY when called
     under an ambient jax.vmap (argument leaves are batch tracers).
@@ -214,14 +238,17 @@ def _make_batch_dispatcher(plain_solve, wrapped):
     AD tracers wrapping batch tracers) on the plain solve with its exact
     current semantics.
 
-    The one composition that cannot be routed anywhere is a MIXED
-    vmap-of-grad: some leaves batched raw (plain batch tracers, e.g. a
-    swept damping) while others are in-flight derivatives (AD tracers,
-    the design under grad). custom_vmap's rule cannot linearize that
-    ("Linearization failed to produce known values..."), so it is
-    detected here and raised with the workaround instead of the deep JAX
-    error.
+    A MIXED vmap-of-grad — some leaves batched raw (plain batch tracers,
+    e.g. a swept damping) while others are in-flight derivatives (AD
+    tracers, the design under grad) — cannot go through custom_vmap
+    ("Linearization failed to produce known values..."). It IS supported
+    by the plain solve (per-candidate parity 7e-10, pinned in
+    tests/test_tiled_batching.py), so it is detected here and dispatched
+    there with a one-time performance warning naming the faster
+    vjp-of-vmap pattern.
     """
+
+    import warnings
 
     try:
         # Private-API seam (pinned by tests/test_tiled_batching.py): used
@@ -247,6 +274,8 @@ def _make_batch_dispatcher(plain_solve, wrapped):
     except ImportError:  # pragma: no cover - fail-safe on JAX upgrade
         ADTracers = ()
 
+    warned = []
+
     def _dispatching_solve(state0, timepoints, control_params):
         leaves = jax.tree.leaves((state0, timepoints, control_params))
         if BatchTracer and any(
@@ -255,14 +284,19 @@ def _make_batch_dispatcher(plain_solve, wrapped):
             if ADTracers and any(
                 isinstance(leaf, ADTracers) for leaf in leaves
             ):
-                raise NotImplementedError(
-                    "vmap-of-grad with additional non-differentiated "
-                    "batched arguments is not supported through the "
-                    "batched-population routing path. Compute population "
-                    "gradients as ONE jax.vjp of the vmapped objective "
-                    "(see parallel/multistart.py), or disable routing "
-                    "with batch_tiling='off' in setup_dynamic_solver."
-                )
+                if not warned:
+                    warned.append(True)
+                    warnings.warn(
+                        "vmap-of-grad with additional non-differentiated "
+                        "batched arguments bypasses the batched-population "
+                        "fast path (it cannot go through custom_vmap) and "
+                        "runs a plain vmap instead. For population "
+                        "gradients, ONE jax.vjp of the vmapped objective "
+                        "is the fast order (see parallel/multistart."
+                        "population_value_and_grad).",
+                        stacklevel=2,
+                    )
+                return plain_solve(state0, timepoints, control_params)
             return wrapped(state0, timepoints, control_params)
         return plain_solve(state0, timepoints, control_params)
 
@@ -346,11 +380,17 @@ def setup_dynamic_solver(
             solver, i.e. XLA-scan numerics; an explicit "verlet_pallas"
             with "max_batch" keeps Pallas numerics for un-tileable batches
             at or below its cap. NOTE: the rule composes with
-            vmap-then-grad (grad of a vmapped objective, or jax.vjp of it)
-            but NOT vmap-of-grad with extra non-differentiated batched
-            args (raises NotImplementedError naming the fix); batched
-            optimizers must use the vjp-of-vmap order (see
-            parallel/multistart.py) or set batch_tiling="off".
+            vmap-then-grad (grad of a vmapped objective, or jax.vjp of
+            it); vmap-of-grad with extra non-differentiated batched args
+            bypasses the fast path (dispatched to a plain vmap with a
+            one-time performance warning). Batched optimizers should use
+            the vjp-of-vmap order (parallel/multistart.
+            population_value_and_grad). Guarded solvers (``guard=...``)
+            never design-tile (the guard's risk predicate would couple
+            pack-mates); under vmap their lax.cond becomes a per-design
+            select — correct, but both branches execute, so prefer
+            unguarded population screening plus guarded re-evaluation of
+            finalists.
         guard: reactive substep escalation for the fixed-step Verlet
             backends ("verlet", "verlet_ckpt", "verlet_pallas") — the
             fixed-step equivalent of the reference's adaptive dt at contact
@@ -851,23 +891,9 @@ def setup_dynamic_solver(
         _max_tiled_batch = _tile_cfg.get(
             "max_batch", _AUTO_MAX_TILED_BATCH if was_auto else None
         )
-        _fallback_method = _tile_cfg.get("fallback_method", "verlet_ckpt")
-        _fallback_cache = {}
-
-        def _fallback_solve():
-            if "solve" not in _fallback_cache:
-                # The lazy build runs INSIDE the custom_vmap rule, i.e.
-                # within whatever trace the user's solve call sits in.
-                # Under jit every jnp op in the setup would be staged as a
-                # tracer and the setup's np conversions would raise
-                # TracerArrayConversionError — force eager evaluation.
-                with jax.ensure_compile_time_eval():
-                    _fallback_cache["solve"] = setup_dynamic_solver(
-                        method=_fallback_method,
-                        batch_tiling="off",
-                        **_setup_kwargs,
-                    )
-            return _fallback_cache["solve"]
+        _fallback_solve, _fallback_cache = _lazy_fallback(
+            _setup_kwargs, _tile_cfg.get("fallback_method", "verlet_ckpt")
+        )
 
         def _tiled_solve(state0, s0_batched, timepoints, cp, cp_bools, B):
             """One vmapped solve as ONE (or a few) super-lattice kernel
@@ -1047,7 +1073,14 @@ def setup_dynamic_solver(
             def _any(tree):
                 return any(bool(x) for x in jax.tree.leaves(tree))
 
-            eligible = not (
+            # A guarded solver must NOT design-tile: the guard's risk
+            # predicate max-reduces travel over the whole super-lattice,
+            # so one spiking design would refine every pack-mate's
+            # integration — vmap(solve)[j] would depend on pack
+            # composition. Guarded populations run plain vmap (lax.cond
+            # becomes a per-design select — correct, both branches
+            # execute) or the rerouted sibling.
+            eligible = guard is None and not (
                 _any(t_b)
                 or _any(cp_bools.constraint_params)
                 or _any(cp_bools.loading_params)
@@ -1104,20 +1137,9 @@ def setup_dynamic_solver(
         _plain_solve = solve_dynamics
         _tile_cfg = batch_tiling if isinstance(batch_tiling, dict) else {}
         _max_routing_batch = _tile_cfg.get("max_batch", 0 if was_auto else None)
-        _fallback_method = _tile_cfg.get("fallback_method", "verlet_ckpt")
-        _fallback_cache = {}
-
-        def _kagome_fallback_solve():
-            if "solve" not in _fallback_cache:
-                # See _fallback_solve: the build must evaluate eagerly
-                # even when the rule fires inside a jit trace.
-                with jax.ensure_compile_time_eval():
-                    _fallback_cache["solve"] = setup_dynamic_solver(
-                        method=_fallback_method,
-                        batch_tiling="off",
-                        **_setup_kwargs,
-                    )
-            return _fallback_cache["solve"]
+        _kagome_fallback_solve, _fallback_cache = _lazy_fallback(
+            _setup_kwargs, _tile_cfg.get("fallback_method", "verlet_ckpt")
+        )
 
         _kwrapped = custom_batching.custom_vmap(solve_dynamics)
 

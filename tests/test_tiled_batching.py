@@ -328,31 +328,40 @@ def test_ineligible_small_batch_explicit_pallas_keeps_pallas():
     assert solve._tiling_fallback_cache
 
 
-def test_mixed_vmap_of_grad_raises_named_error():
+def test_mixed_vmap_of_grad_routes_to_plain_with_warning():
     # vmap-of-grad whose batch carries EXTRA non-differentiated leaves
     # (raw batch tracers alongside the design's AD tracers) cannot go
-    # through custom_vmap; the dispatcher must raise the named error with
-    # the vjp-of-vmap workaround, not the deep "Linearization failed"
-    # ValueError.
+    # through custom_vmap ("Linearization failed..."); the dispatcher must
+    # route it to the plain solve (fully supported, just slower) with a
+    # one-time performance warning naming the vjp-of-vmap fast order —
+    # preserving reference-style per-candidate grad code.
     solve, state0, timepoints, cp_for, geo = _setup("verlet_pallas")
+    solve_off, *_ = _setup("verlet_pallas", batch_tiling="off")
     designs = _design_batch(geo, 3)
     ds = jax.tree.map(lambda *xs: jnp.stack(xs), *designs)
     damps = jnp.linspace(0.04, 0.06, 3)
 
-    def per_candidate_grad(d, damp):
+    def per_candidate_grad(solve_fn, d, damp):
         def f(dd):
             cp = cp_for(dd)
             mp = cp.mechanical_params._replace(damping=damp)
-            sol = solve(state0, timepoints, cp._replace(mechanical_params=mp))
+            sol = solve_fn(
+                state0, timepoints, cp._replace(mechanical_params=mp)
+            )
             return jnp.sum(sol[-1, 1] ** 2)
 
         return jax.grad(f)(d)
 
-    with pytest.raises(NotImplementedError, match="jax.vjp of the vmapped"):
-        jax.vmap(per_candidate_grad)(ds, damps)
+    with pytest.warns(UserWarning, match="vjp of the vmapped"):
+        g = jax.vmap(lambda d, a: per_candidate_grad(solve, d, a))(ds, damps)
+    g_ref = jax.vmap(lambda d, a: per_candidate_grad(solve_off, d, a))(
+        ds, damps
+    )
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        assert jnp.allclose(a, b, rtol=1e-9)
 
-    # Pure vmap-of-grad over the design alone stays supported (routed to
-    # the plain solve, bypassing the tiler).
+    # Pure vmap-of-grad over the design alone stays supported and silent
+    # (routed to the plain solve, bypassing the tiler).
     def design_only_grad(d):
         def f(dd):
             sol = solve(state0, timepoints, cp_for(dd))
