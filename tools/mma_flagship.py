@@ -163,7 +163,7 @@ def _downsized(n1=8, n2=6):
     return optimization, design
 
 
-def crosscheck(n_iterations: int = 40, n1: int = 10, n2: int = 8):
+def crosscheck(n_iterations: int = 40, n1: int = 8, n2: int = 6):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -237,7 +237,10 @@ def crosscheck(n_iterations: int = 40, n1: int = 10, n2: int = 8):
     initial_obj = float(objective_and_grad(flat0)[0])
     record = _load()
     record["slsqp_crosscheck"] = {
-        "config": f"{n1}x{n2} paper physics, 60 timepoints, {n_iterations} iters",
+        "config": (
+            f"{n1}x{n2} paper physics, 40 timepoints, "
+            f"{n_iterations} iters, guard=auto, f64 CPU"
+        ),
         "design_dim": int(flat0.size),
         "n_constraints": int(stacked(flat0).shape[0]),
         "objective_initial": initial_obj,
