@@ -268,6 +268,11 @@ def guard_travel(V, A, dt, guard):
     return t
 
 
+# Trace-time switch for the guarded adjoint's per-interval risky dispatch
+# (tests flip it to validate the dispatch against the always-guarded vjp).
+_GUARD_ADJOINT_DISPATCH = True
+
+
 def make_guarded_stepper(one_step, travel_fn, guard, remat: bool = True):
     """Wrap a single Verlet step with reactive substep escalation.
 
@@ -344,12 +349,22 @@ def make_interval_body(
     has_loading: bool = False,
     guard=None,
     guard_remat: bool = True,
+    risk_flag: bool = False,
 ):
     """All n_substeps Verlet steps on plane states (single source of truth
     for the Pallas kernel and the XLA rematerialization path).
 
     ``guard``: resolved reactive-substep spec (see :func:`resolve_guard`);
     risky substeps are re-run as micro-steps via ``lax.cond``.
+
+    ``risk_flag`` (requires ``guard``): integrate UNGUARDED but monitor the
+    guard's outer-level predicate, returning ``((U, V, A), risky)`` where
+    ``risky`` is True iff any substep would have fired. Used by the
+    stored-state adjoint: up to (and including) the FIRST firing substep
+    the unguarded and guarded trajectories coincide, so ``risky`` is exact
+    — and when it is False the unguarded vjp IS the guarded vjp (the
+    derivative of ``lax.cond`` is the derivative of the taken branch),
+    with none of the per-substep control flow that defeats XLA fusion.
     """
 
     off = _tail_offsets(has_loading)
@@ -370,6 +385,25 @@ def make_interval_body(
             V1 = V_hat / (1.0 + 0.5 * ddt * damping_c / inertia) * free_mask
             A1 = (F1 - damping_c * V1) * inv_m
             return U1, V1, A1
+
+        if risk_flag:
+            if guard is None:
+                raise ValueError("risk_flag requires a guard spec")
+            threshold = guard["threshold"]
+
+            def step_flagged(i, acc):
+                carry, risky = acc
+                _, Vc, Ac = carry
+                travel = guard_travel(Vc, Ac, dt, guard)
+                return (
+                    one_step(carry, t0 + i * dt, dt),
+                    risky | ~(travel <= threshold),
+                )
+
+            return lax.fori_loop(
+                0, n_substeps, step_flagged,
+                ((U, V, A), jnp.asarray(False)),
+            )
 
         if guard is None:
             stepper = one_step
@@ -561,6 +595,19 @@ def build_verlet_trajectory(
     def xla_interval_t(carry, t0, t1, arrays):
         return body(carry[0], carry[1], carry[2], t0, (t1 - t0) / n_substeps, arrays)
 
+    if guard is not None:
+        # Unguarded replay + outer-risk monitor for the adjoint's
+        # per-interval dispatch (see trajectory_bwd).
+        _flag_body = make_interval_body(
+            n_fixed, n_substeps, force, has_loading, guard, risk_flag=True
+        )
+
+        def flag_interval_t(carry, t0, t1, arrays):
+            return _flag_body(
+                carry[0], carry[1], carry[2], t0,
+                (t1 - t0) / n_substeps, arrays,
+            )
+
     def xla_forward(carry, timepoints, arrays):
         """Same interval-boundary outputs as the Pallas kernel, as a plain
         scan (vmap-friendly: XLA batches the planes across lanes)."""
@@ -600,11 +647,38 @@ def build_verlet_trajectory(
             cbar, d_arrays, d_ts = acc
             k, cU, cV, cA, t0, t1, gUk, gVk, gAk = xs
             cot = (cbar[0] + gUk, cbar[1] + gVk, cbar[2] + gAk)
-            _, vjp = jax.vjp(
-                lambda c, a, b, arr: xla_interval_t(c, a, b, arr),
-                (cU, cV, cA), t0, t1, arrays,
-            )
-            d_cin, d_t0, d_t1, d_arr = vjp(cot)
+            if guard is None or not _GUARD_ADJOINT_DISPATCH:
+                _, vjp = jax.vjp(
+                    lambda c, a, b, arr: xla_interval_t(c, a, b, arr),
+                    (cU, cV, cA), t0, t1, arrays,
+                )
+                d_cin, d_t0, d_t1, d_arr = vjp(cot)
+            else:
+                # Guarded adjoint, fast path: replay the interval
+                # UNGUARDED while monitoring the guard's outer predicate.
+                # Intervals where no substep would fire (the common case)
+                # take the fully fused unguarded vjp — which IS the
+                # guarded vjp there (lax.cond differentiates the taken
+                # branch) — and only genuinely risky intervals pay the
+                # per-substep control flow of differentiating the guarded
+                # body (measured at the flagship: see GUARDED_ADJOINT in
+                # TUNNELING.json).
+                _, vjp_u, risky = jax.vjp(
+                    lambda c, a, b, arr: flag_interval_t(c, a, b, arr),
+                    (cU, cV, cA), t0, t1, arrays,
+                    has_aux=True,
+                )
+
+                def guarded_grads(cot):
+                    _, vjp_g = jax.vjp(
+                        lambda c, a, b, arr: xla_interval_t(c, a, b, arr),
+                        (cU, cV, cA), t0, t1, arrays,
+                    )
+                    return vjp_g(cot)
+
+                d_cin, d_t0, d_t1, d_arr = lax.cond(
+                    risky, guarded_grads, vjp_u, cot
+                )
             d_arrays = jax.tree.map(jnp.add, d_arrays, d_arr)
             d_ts = d_ts.at[k].add(d_t0).at[k + 1].add(d_t1)
             return (d_cin, d_arrays, d_ts), None

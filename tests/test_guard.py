@@ -173,6 +173,66 @@ def test_gradient_through_guarded_contact_event(harness):
     assert abs(float(g)) > 0
 
 
+def test_guarded_pallas_adjoint_dispatch_matches_guarded_vjp(harness):
+    # The stored-state adjoint replays each interval UNGUARDED with a risk
+    # monitor and only differentiates the guarded body on risky intervals
+    # (core.trajectory_bwd). Validate against the always-guarded vjp on
+    # the SAME forward (cross-backend objective comparisons are ill-posed
+    # here: the post-bounce trajectory is chaotic, so the kernel's
+    # poly-atan2 drift amplifies arbitrarily). The barrier bounce makes
+    # some intervals risky (guarded-vjp branch) while the rest take the
+    # fused unguarded vjp.
+    from difflexmm_tpu.ops.pallas import core
+
+    mk, cp, state0, timepoints, _ = harness
+    solve = mk("verlet_pallas", 2, guard=GUARD, pallas_interpret=True)
+
+    def obj(k_contact):
+        sol = solve(state0, timepoints, cp(k_contact))
+        return jnp.sum(sol[-1, 1, :, 2] ** 2)
+
+    v_fast, g_fast = jax.value_and_grad(obj)(0.01)
+    assert core._GUARD_ADJOINT_DISPATCH
+    try:
+        core._GUARD_ADJOINT_DISPATCH = False
+        v_ref, g_ref = jax.value_and_grad(obj)(0.01)
+    finally:
+        core._GUARD_ADJOINT_DISPATCH = True
+    assert np.isfinite(float(v_fast)) and np.isfinite(float(g_fast))
+    # Same forward either way.
+    assert float(v_fast) == float(v_ref)
+    # Same derivative: on non-risky intervals the unguarded vjp IS the
+    # guarded vjp (cond differentiates the taken branch); risky intervals
+    # take the identical guarded vjp in both modes.
+    np.testing.assert_allclose(
+        float(g_fast), float(g_ref), rtol=1e-12, atol=0.0
+    )
+
+
+def test_guarded_pallas_adjoint_exact_noop_on_tame(harness):
+    # On a trajectory that never trips the predicate, every interval takes
+    # the unguarded vjp branch — value AND gradient must match the
+    # unguarded solver bit-for-bit.
+    mk, cp, state0, timepoints, _ = harness
+    slow = state0.at[1].mul(0.02)
+
+    def obj_of(solve):
+        def obj(k_contact):
+            sol = solve(slow, timepoints, cp(k_contact))
+            return jnp.sum(sol[-1, 1, :, 2] ** 2)
+
+        return obj
+
+    plain = jax.value_and_grad(
+        obj_of(mk("verlet_pallas", 4, pallas_interpret=True))
+    )(0.01)
+    guarded = jax.value_and_grad(
+        obj_of(mk("verlet_pallas", 4, guard=GUARD, pallas_interpret=True))
+    )(0.01)
+    assert float(plain[0]) == float(guarded[0])
+    assert float(plain[1]) == float(guarded[1])
+
+
 def test_model_guard_resolution():
     resolved = base.resolve_model_guard("auto", 0.0, jnp.deg2rad(5.0), 15.0)
     assert resolved["window"] == pytest.approx(float(jnp.deg2rad(5.0)))
