@@ -170,7 +170,10 @@ def resolve_model_guard(guard, min_angle, cutoff_angle, spacing):
     ``None`` -> off; ``"auto"`` -> threshold from the contact-barrier
     window (``cutoff_angle - min_angle``) with translational travel counted
     at the lattice ``spacing``; a dict passes through (with ``window`` /
-    ``length_scale`` filled in when absent). See
+    ``length_scale`` filled in when absent). The ``translation`` mode is
+    left to the backend: grid layouts default to "relative" (neighbor
+    velocity differences — bulk pulse motion closes no void and must not
+    fire), the dense layout to "absolute". See
     solver.dynamics.setup_dynamic_solver's ``guard`` docs.
     """
 

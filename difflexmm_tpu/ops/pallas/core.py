@@ -181,7 +181,7 @@ def make_force_fn(
     return force
 
 
-def resolve_guard(guard, theta_channels):
+def resolve_guard(guard, theta_channels, default_translation="relative"):
     """Normalize a reactive-substep-guard spec into static fields.
 
     The guard is the fixed-step answer to the reference's adaptive
@@ -205,6 +205,20 @@ def resolve_guard(guard, theta_channels):
         length_scale: optional length so translational motion counts too:
             travel += |v_xy| dt / length_scale (void angles rotate with
             relative edge displacement as well as block rotation).
+        translation: how the translational term measures |v_xy| —
+            "relative" (default for the plane-layout kernels): max
+            NEIGHBOR velocity difference (grid-axis shifts, plus
+            within-cell block pairs for multi-block cells). Bulk motion
+            of the lattice — a traveling pulse carrying whole regions at
+            the drive velocity — closes no void, so it should not fire
+            the guard; only relative motion can. Measured at the healthy
+            paper flagship: the absolute predicate fires on ~30% of
+            intervals during the pulse, relative on ~7%, which is the
+            difference between a ~77x and a small guarded-adjoint
+            overhead (TUNNELING.json GUARDED_ADJOINT).
+            "absolute" (default for the dense layout, which has no
+            connectivity to difference against without gathers): max
+            |v_xy| of any block.
 
     Defaults measured on the paper flagship at n_substeps=5 (f64 CPU,
     tools/tunneling_study.py -> TUNNELING.json): plain NaNs at a contact
@@ -231,10 +245,16 @@ def resolve_guard(guard, theta_channels):
         refine=int(g.pop("refine", 16)),
         levels=int(g.pop("levels", 2)),
         length_scale=g.pop("length_scale", None),
+        translation=str(g.pop("translation", default_translation)),
         theta_channels=tuple(theta_channels),
     )
     if g:
         raise ValueError(f"unknown guard spec keys: {sorted(g)}")
+    if resolved["translation"] not in ("relative", "absolute"):
+        raise ValueError(
+            "guard translation must be 'relative' or 'absolute'; got "
+            f"{resolved['translation']!r}"
+        )
     if resolved["refine"] < 2 or resolved["levels"] < 1:
         raise ValueError("guard needs refine >= 2 and levels >= 1")
     if resolved["length_scale"] is not None:
@@ -246,31 +266,68 @@ def guard_travel(V, A, dt, guard):
     """Predicted max rotational travel of any block in one substep of dt.
 
     Channel-plane layout: V/A are (C, ..., n2, n1); static channel indices
-    only (fancy indexing would lower to gathers Mosaic can't take).
+    and static slices only (fancy indexing would lower to gathers Mosaic
+    can't take). With ``translation="relative"`` the translational term
+    differences each velocity plane against its grid neighbors (axis
+    shifts) and, for multi-block cells (kagome: channels grouped 3 per
+    block), against the same DOF of the other blocks in the cell — bulk
+    motion cancels, only void-closing relative motion counts.
     """
 
     theta = set(guard["theta_channels"])
 
-    def travel_of(channels):
-        planes = [
-            jnp.abs(V[c]) * dt + (0.5 * dt * dt) * jnp.abs(A[c])
-            for c in channels
-        ]
-        out = planes[0]
-        for p in planes[1:]:
-            out = jnp.maximum(out, p)
-        return jnp.max(out)
+    def travel(v, a):
+        return jnp.max(jnp.abs(v) * dt + (0.5 * dt * dt) * jnp.abs(a))
 
-    t = travel_of(sorted(theta))
+    def max_of(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = jnp.maximum(out, p)
+        return out
+
+    t = max_of([travel(V[c], A[c]) for c in sorted(theta)])
     if guard["length_scale"] is not None:
         trans = [c for c in range(V.shape[0]) if c not in theta]
-        t = t + travel_of(trans) / guard["length_scale"]
+        if guard["translation"] == "absolute":
+            tt = max_of([travel(V[c], A[c]) for c in trans])
+        else:
+            parts = []
+            for c in trans:
+                v, a = V[c], A[c]
+                if v.shape[-1] > 1:
+                    parts.append(travel(
+                        v[..., :, 1:] - v[..., :, :-1],
+                        a[..., :, 1:] - a[..., :, :-1],
+                    ))
+                if v.shape[-2] > 1:
+                    parts.append(travel(
+                        v[..., 1:, :] - v[..., :-1, :],
+                        a[..., 1:, :] - a[..., :-1, :],
+                    ))
+            # Within-cell block pairs: channels are grouped (x, y, theta)
+            # per block, so same-offset channels of different blocks are
+            # the same DOF of cell-mates (kagome: (0,3) and (1,4)).
+            for i, c1 in enumerate(trans):
+                for c2 in trans[i + 1:]:
+                    if (c1 - c2) % 3 == 0:
+                        parts.append(travel(V[c1] - V[c2], A[c1] - A[c2]))
+            if not parts:  # single-cell lattice: nothing to move relative to
+                parts = [jnp.zeros((), dtype=V.dtype)]
+            tt = max_of(parts)
+        t = t + tt / guard["length_scale"]
     return t
 
 
 # Trace-time switch for the guarded adjoint's per-interval risky dispatch
 # (tests flip it to validate the dispatch against the always-guarded vjp).
 _GUARD_ADJOINT_DISPATCH = True
+
+# Debug/benchmark knob: override the adjoint's risk monitor. None -> use the
+# monitored flags; "all"/"none" -> force every interval (in)to the guarded/
+# unguarded branch. Separates the cost of the cond DISPATCH STRUCTURE from
+# the cost of the guarded branch itself when profiling (see
+# tools/guarded_adjoint_bench.py); never set in production.
+_GUARD_FORCE_RISKY = None
 
 
 def make_guarded_stepper(one_step, travel_fn, guard, remat: bool = True):
@@ -597,13 +654,23 @@ def build_verlet_trajectory(
 
     if guard is not None:
         # Unguarded replay + outer-risk monitor for the adjoint's
-        # per-interval dispatch (see trajectory_bwd).
+        # per-interval dispatch (see trajectory_bwd), plus the unguarded
+        # twin body the non-risky branch differentiates.
         _flag_body = make_interval_body(
             n_fixed, n_substeps, force, has_loading, guard, risk_flag=True
+        )
+        _plain_body = make_interval_body(
+            n_fixed, n_substeps, force, has_loading, None
         )
 
         def flag_interval_t(carry, t0, t1, arrays):
             return _flag_body(
+                carry[0], carry[1], carry[2], t0,
+                (t1 - t0) / n_substeps, arrays,
+            )
+
+        def plain_interval_t(carry, t0, t1, arrays):
+            return _plain_body(
                 carry[0], carry[1], carry[2], t0,
                 (t1 - t0) / n_substeps, arrays,
             )
@@ -643,41 +710,61 @@ def build_verlet_trajectory(
 
         zero_arrays = jax.tree.map(jnp.zeros_like, arrays)
 
+        dispatch = guard is not None and _GUARD_ADJOINT_DISPATCH
+        if dispatch:
+            # Guarded adjoint, fast path. Risk flags for ALL intervals in
+            # one batched unguarded replay (interval input states are the
+            # stored residuals, so every interval's monitor is independent
+            # — XLA batches the whole sweep): an interval is risky iff any
+            # of its substeps would fire the guard. Where none would, the
+            # unguarded vjp IS the guarded vjp (lax.cond differentiates
+            # the taken branch), so only risky intervals pay the
+            # per-substep control flow of differentiating the guarded
+            # body. Each cond branch runs its own jax.vjp INSIDE the
+            # branch: hoisting vjp_u out of the cond (the previous design)
+            # forces its linearization residuals — every per-substep
+            # intermediate of the replay — across the cond boundary as
+            # materialized operands, which measured ~70x the unguarded
+            # adjoint at zero firing rate; branch-internal replay keeps
+            # residuals fused and only states/cotangents cross (see
+            # GUARDED_ADJOINT in TUNNELING.json).
+            def monitor(cU, cV, cA, t0, t1):
+                _, risky = flag_interval_t((cU, cV, cA), t0, t1, arrays)
+                return risky
+
+            risky_all = jax.vmap(monitor)(
+                cinU, cinV, cinA, timepoints[:-1], timepoints[1:]
+            )
+            if _GUARD_FORCE_RISKY == "all":
+                risky_all = jnp.ones_like(risky_all)
+            elif _GUARD_FORCE_RISKY == "none":
+                risky_all = jnp.zeros_like(risky_all)
+        else:
+            risky_all = jnp.zeros((n_int,), dtype=bool)
+
         def rev_step(acc, xs):
             cbar, d_arrays, d_ts = acc
-            k, cU, cV, cA, t0, t1, gUk, gVk, gAk = xs
+            k, cU, cV, cA, t0, t1, gUk, gVk, gAk, risky = xs
             cot = (cbar[0] + gUk, cbar[1] + gVk, cbar[2] + gAk)
-            if guard is None or not _GUARD_ADJOINT_DISPATCH:
-                _, vjp = jax.vjp(
-                    lambda c, a, b, arr: xla_interval_t(c, a, b, arr),
-                    (cU, cV, cA), t0, t1, arrays,
-                )
-                d_cin, d_t0, d_t1, d_arr = vjp(cot)
-            else:
-                # Guarded adjoint, fast path: replay the interval
-                # UNGUARDED while monitoring the guard's outer predicate.
-                # Intervals where no substep would fire (the common case)
-                # take the fully fused unguarded vjp — which IS the
-                # guarded vjp there (lax.cond differentiates the taken
-                # branch) — and only genuinely risky intervals pay the
-                # per-substep control flow of differentiating the guarded
-                # body (measured at the flagship: see GUARDED_ADJOINT in
-                # TUNNELING.json).
-                _, vjp_u, risky = jax.vjp(
-                    lambda c, a, b, arr: flag_interval_t(c, a, b, arr),
-                    (cU, cV, cA), t0, t1, arrays,
-                    has_aux=True,
-                )
 
-                def guarded_grads(cot):
-                    _, vjp_g = jax.vjp(
-                        lambda c, a, b, arr: xla_interval_t(c, a, b, arr),
+            def grads_of(interval_fn):
+                def grads(cot):
+                    _, vjp = jax.vjp(
+                        lambda c, a, b, arr: interval_fn(c, a, b, arr),
                         (cU, cV, cA), t0, t1, arrays,
                     )
-                    return vjp_g(cot)
+                    return vjp(cot)
 
+                return grads
+
+            if not dispatch:
+                d_cin, d_t0, d_t1, d_arr = grads_of(xla_interval_t)(cot)
+            else:
                 d_cin, d_t0, d_t1, d_arr = lax.cond(
-                    risky, guarded_grads, vjp_u, cot
+                    risky,
+                    grads_of(xla_interval_t),
+                    grads_of(plain_interval_t),
+                    cot,
                 )
             d_arrays = jax.tree.map(jnp.add, d_arrays, d_arr)
             d_ts = d_ts.at[k].add(d_t0).at[k + 1].add(d_t1)
@@ -692,7 +779,8 @@ def build_verlet_trajectory(
         (d_carry0, d_arrays, d_ts), _ = lax.scan(
             rev_step,
             init,
-            (ks, cinU, cinV, cinA, timepoints[:-1], timepoints[1:], gU, gV, gA),
+            (ks, cinU, cinV, cinA, timepoints[:-1], timepoints[1:], gU, gV,
+             gA, risky_all),
             reverse=True,
         )
         return d_carry0, d_ts, d_arrays

@@ -399,8 +399,12 @@ def setup_dynamic_solver(
             ``window`` (the contact barrier window; threshold =
             ``fraction * window``, fraction default 0.02), plus optional
             ``refine`` (micro-steps per risky substep, default 16),
-            ``levels`` (recursion depth, default 2), and ``length_scale``
-            (count translational motion as travel / length_scale). See
+            ``levels`` (recursion depth, default 2), ``length_scale``
+            (count translational motion as travel / length_scale), and
+            ``translation`` ("relative": neighbor velocity differences,
+            the grid-backend default — bulk motion closes no void; or
+            "absolute": any block's |v|, the only mode the dense
+            method='verlet' layout supports). See
             ops/pallas/core.resolve_guard. Substeps predicted to cross a
             large fraction of the barrier window re-run as micro-steps, so
             strong-pulse f32 runs survive contact events instead of
@@ -443,7 +447,17 @@ def setup_dynamic_solver(
     if guard is not None and method == "verlet":
         from difflexmm_tpu.ops.pallas.core import resolve_guard
 
-        _dense_guard = resolve_guard(guard, theta_channels=(2,))
+        # The dense (n_blocks, 3) layout has no connectivity to difference
+        # against (gathers), so its translational risk term is absolute.
+        _dense_guard = resolve_guard(
+            guard, theta_channels=(2,), default_translation="absolute"
+        )
+        if _dense_guard["translation"] == "relative":
+            raise ValueError(
+                "guard translation='relative' needs the grid plane layout; "
+                "method='verlet' (dense) supports only 'absolute' (or use "
+                "'verlet_pallas'/'verlet_ckpt')."
+            )
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
 

@@ -114,6 +114,10 @@ def harness():
 # refine=8/levels=2 -> fully refined substeps match the n_substeps=128
 # reference exactly, keeping the fast tier cheap.
 GUARD = dict(window=float(CUT_A - MIN_A), length_scale=1.0, refine=8)
+# Same spec with the dense layout's absolute translational term, for
+# apples-to-apples dense-vs-pallas comparisons (the grid backends default
+# to translation="relative").
+GUARD_ABS = dict(GUARD, translation="absolute")
 
 
 def test_coarse_solve_tunnels_through_barrier(harness):
@@ -150,8 +154,10 @@ def test_guard_is_noop_on_tame_trajectory(harness):
 def test_guard_pallas_interpret_matches_dense(harness):
     mk, cp, state0, timepoints, _ = harness
     dense = mk("verlet", 2, guard=GUARD)(state0, timepoints, cp())
+    # Pin translation="absolute": the dense layout has no connectivity to
+    # difference against, so predicate parity requires the absolute term.
     pallas = mk(
-        "verlet_pallas", 2, guard=GUARD, pallas_interpret=True
+        "verlet_pallas", 2, guard=GUARD_ABS, pallas_interpret=True
     )(state0, timepoints, cp())
     scale = float(jnp.max(jnp.abs(dense)))
     # ~2e-6 measured: the kernel's polynomial atan2 drift amplified by the
@@ -247,10 +253,77 @@ def test_model_guard_resolution():
         base.resolve_model_guard(1.5, 0.0, 1.0, 1.0)
 
 
+def test_relative_translation_ignores_bulk_motion():
+    # Bulk motion closes no void: the relative predicate must not count a
+    # uniform translational velocity, while the absolute one does. Planes
+    # are (C, n2, n1) with channels (x, y, theta) per block.
+    from difflexmm_tpu.ops.pallas.core import guard_travel
+
+    dt = 0.1
+    V = jnp.zeros((3, 4, 5)).at[0].set(1.0)  # uniform vx = 1
+    A = jnp.zeros((3, 4, 5))
+    rel = resolve_guard(dict(threshold=1e-3, length_scale=1.0),
+                        theta_channels=(2,))
+    assert rel["translation"] == "relative"
+    absg = resolve_guard(dict(threshold=1e-3, length_scale=1.0,
+                              translation="absolute"), theta_channels=(2,))
+    assert float(guard_travel(V, A, dt, rel)) == 0.0
+    assert float(guard_travel(V, A, dt, absg)) == pytest.approx(dt)
+
+    # A shear (neighbors moving oppositely along n1) fires the relative
+    # predicate at TWICE the absolute reading — opposing motion is exactly
+    # what closes a void.
+    cols = jnp.tile(jnp.array([1.0, -1.0, 1.0, -1.0, 1.0]), (4, 1))
+    Vs = jnp.zeros((3, 4, 5)).at[1].set(cols)
+    assert float(guard_travel(Vs, A, dt, rel)) == pytest.approx(2 * dt)
+    assert float(guard_travel(Vs, A, dt, absg)) == pytest.approx(dt)
+
+
+def test_relative_translation_sees_within_cell_motion():
+    # Kagome layout: two blocks per cell, channels (0,1,2) and (3,4,5).
+    # Uniform per-block fields have zero axis-shift differences, but the
+    # cell-mates moving against each other must still fire.
+    from difflexmm_tpu.ops.pallas.core import guard_travel
+
+    dt = 0.1
+    V = jnp.zeros((6, 4, 5)).at[0].set(1.0).at[3].set(-1.0)
+    A = jnp.zeros((6, 4, 5))
+    rel = resolve_guard(dict(threshold=1e-3, length_scale=1.0),
+                        theta_channels=(2, 5))
+    assert float(guard_travel(V, A, dt, rel)) == pytest.approx(2 * dt)
+
+
+def test_relative_guard_noop_under_bulk_motion(harness):
+    # Integration-level: a tame rotation superposed on a fast bulk drift.
+    # The relative default must leave the grid solve bit-exact (no substep
+    # fires), even though the drift alone trips the absolute term.
+    mk, cp, state0, timepoints, _ = harness
+    drifting = state0.at[1].mul(0.02).at[1, :, 0].add(1.0)
+    plain = mk("verlet_pallas", 4, pallas_interpret=True)(
+        drifting, timepoints, cp()
+    )
+    guarded = mk("verlet_pallas", 4, guard=GUARD, pallas_interpret=True)(
+        drifting, timepoints, cp()
+    )
+    assert jnp.array_equal(plain, guarded), (
+        "relative guard must be a bit-exact no-op under bulk drift"
+    )
+
+
+def test_dense_rejects_relative_translation(harness):
+    mk, *_ = harness
+    with pytest.raises(ValueError, match="relative"):
+        mk("verlet", 2, guard=dict(GUARD, translation="relative"))
+
+
 def test_guard_spec_validation():
     g = resolve_guard(dict(window=0.1), theta_channels=(2,))
     assert g["threshold"] == pytest.approx(0.002)  # fraction default 0.02
     assert g["refine"] == 16 and g["levels"] == 2
+    assert g["translation"] == "relative"
+    with pytest.raises(ValueError, match="translation"):
+        resolve_guard(dict(window=0.1, translation="sideways"),
+                      theta_channels=(2,))
     with pytest.raises(ValueError, match="threshold"):
         resolve_guard(dict(fraction=0.1), theta_channels=(2,))
     with pytest.raises(ValueError, match="unknown guard spec"):
