@@ -200,8 +200,17 @@ def resolve_guard(guard, theta_channels, default_translation="relative"):
             ``cutoff_angle - min_angle``; threshold = ``fraction * window``.
         fraction: of ``window`` (default 0.02).
         refine: micro-steps per refined substep (default 16).
-        levels: recursive refinement depth (default 2; each extra level
-            re-checks the predicate at the finer dt and can refine again).
+        levels: recursive refinement depth (default 1). Extra levels
+            re-check the predicate at the finer dt and can refine again,
+            but on TPU each level multiplies the XLA cond's branch size,
+            and an XLA cond costs ~its TOTAL branch body size per
+            traversal even when not taken (measured: a nested level-2
+            stepper is ~150 us/substep vs ~16 us for level-1 — the
+            guarded flagship adjoint went 1377 -> 287 ms switching the
+            default to 1, at IDENTICAL rescue accuracy; TUNNELING.json
+            GUARD_L1R16 vs GUARD_THRESHOLD_SWEEP["0.02"]). Raise levels
+            (or refine) only for spikes a single 16x refinement cannot
+            resolve.
         length_scale: optional length so translational motion counts too:
             travel += |v_xy| dt / length_scale (void angles rotate with
             relative edge displacement as well as block rotation).
@@ -210,21 +219,25 @@ def resolve_guard(guard, theta_channels, default_translation="relative"):
             NEIGHBOR velocity difference (grid-axis shifts, plus
             within-cell block pairs for multi-block cells). Bulk motion
             of the lattice — a traveling pulse carrying whole regions at
-            the drive velocity — closes no void, so it should not fire
-            the guard; only relative motion can. Measured at the healthy
-            paper flagship: the absolute predicate fires on ~30% of
-            intervals during the pulse, relative on ~7%, which is the
-            difference between a ~77x and a small guarded-adjoint
-            overhead (TUNNELING.json GUARDED_ADJOINT).
+            the drive velocity — closes no void, so only relative motion
+            should fire the guard (pinned by
+            test_relative_guard_noop_under_bulk_motion). NOTE the
+            flagship pulse itself is genuinely relative motion: the
+            predicate still flags ~80% of output intervals there
+            (TUNNELING.json GUARDED_ADJOINT estimated_firing_rate), so
+            the win over "absolute" is correctness on drifting frames,
+            not a flagship speedup.
             "absolute" (default for the dense layout, which has no
             connectivity to difference against without gathers): max
             |v_xy| of any block.
 
     Defaults measured on the paper flagship at n_substeps=5 (f64 CPU,
-    tools/tunneling_study.py -> TUNNELING.json): plain NaNs at a contact
-    spike; fraction=0.02/refine=16/levels=2 recovers the odeint oracle
-    objective to 5.3e-5 (fraction 0.05 leaves 7e-3; levels=1 with
-    fraction 0.1 leaves a 1.25 rel err).
+    tools/tunneling_study.py + tools/guard_threshold_sweep.py ->
+    TUNNELING.json): plain NaNs at a force spike;
+    fraction=0.02/refine=16/levels=1 recovers the odeint oracle objective
+    to 2.8e-4 f64 / 6.2e-5 f32 — bit-identical objective to levels=2 at
+    a ~5x cheaper guarded adjoint. The fraction is load-bearing:
+    0.05 leaves 8.6e-3, 0.1+ diverges entirely (GUARD_THRESHOLD_SWEEP).
     """
 
     if guard is None:
@@ -243,7 +256,7 @@ def resolve_guard(guard, theta_channels, default_translation="relative"):
     resolved = dict(
         threshold=float(threshold),
         refine=int(g.pop("refine", 16)),
-        levels=int(g.pop("levels", 2)),
+        levels=int(g.pop("levels", 1)),
         length_scale=g.pop("length_scale", None),
         translation=str(g.pop("translation", default_translation)),
         theta_channels=tuple(theta_channels),
@@ -342,10 +355,11 @@ def make_guarded_stepper(one_step, travel_fn, guard, remat: bool = True):
     that step, but the refined replay inside the adjoint stays consistent).
 
     Differentiable: ``lax.cond`` supports reverse-mode; under ``vmap`` it
-    becomes a select (both branches run — per substep that is
-    1 + refine*(1+refine) one_steps at the defaults, a ~270x cost), which
-    is why batched multi-start drivers should prefer un-guarded screening
-    plus guarded re-evaluation of finalists.
+    becomes a select (both branches run — every substep pays the full
+    refine**levels micro-stepping, ~17x at the defaults), which is why
+    batched multi-start drivers should prefer un-guarded screening plus
+    guarded re-evaluation of finalists
+    (parallel/multistart.reevaluate_finalists).
 
     Replay caveat: with ``forward_impl="pallas"`` the stored-state adjoint
     replays the interval in XLA; Mosaic and XLA are not bit-identical, so
@@ -724,10 +738,13 @@ def build_verlet_trajectory(
             # branch: hoisting vjp_u out of the cond (the previous design)
             # forces its linearization residuals — every per-substep
             # intermediate of the replay — across the cond boundary as
-            # materialized operands, which measured ~70x the unguarded
-            # adjoint at zero firing rate; branch-internal replay keeps
-            # residuals fused and only states/cotangents cross (see
-            # GUARDED_ADJOINT in TUNNELING.json).
+            # materialized operands; branch-internal replay keeps
+            # residuals fused and only states/cotangents cross. Measured
+            # at the flagship (TUNNELING.json GUARDED_ADJOINT): the
+            # dispatch structure costs 33 ms at forced-zero firing vs
+            # 22 ms unguarded; the monitored mask lands near the forced
+            # all-risky ceiling because the flagship pulse genuinely
+            # fires ~80% of intervals.
             def monitor(cU, cV, cA, t0, t1):
                 _, risky = flag_interval_t((cU, cV, cA), t0, t1, arrays)
                 return risky

@@ -14,9 +14,12 @@ from difflexmm_tpu.parallel.mesh import (  # noqa: F401
     scenario_sharding,
 )
 from difflexmm_tpu.parallel.multistart import (  # noqa: F401
+    FinalistResult,
     MultistartMMAResult,
     MultistartResult,
+    population_value_and_grad,
     random_initial_designs,
+    reevaluate_finalists,
     run_multistart_mma,
     run_multistart_optax,
 )

@@ -370,6 +370,80 @@ def run_multistart_mma(
     )
 
 
+class FinalistResult(NamedTuple):
+    indices: any         # (k,) population indices of the finalists, ranked
+    values: any          # (k,) re-evaluated objectives, same order
+    screen_values: any   # (k,) the screening objectives of those candidates
+    best_index: any      # scalar population index of the re-ranked winner
+    best_design: any     # winner's design pytree (no leading axis)
+
+
+def reevaluate_finalists(
+    objective_fn: Callable,
+    designs,
+    screen_values,
+    k: int,
+    maximize: bool = True,
+) -> FinalistResult:
+    """Re-rank a screened population's top-k under a costlier objective.
+
+    The production multi-start recipe for guarded solvers: screen the
+    whole population UNGUARDED (vmap-friendly, fast), then re-evaluate
+    only the k best candidates with the guarded (or f64 / higher-substep)
+    objective and re-rank. A guarded objective must never be vmapped over
+    a population — under ``vmap`` the guard's ``lax.cond`` becomes a
+    select, so EVERY candidate pays both branches of every risky substep
+    (~17x at the default refine/levels; see
+    ops/pallas/core.make_guarded_stepper). This helper evaluates the
+    finalists through ``lax.map`` instead: one compile, sequential
+    execution, each candidate's conds stay real branches.
+
+    Non-finite screening values (candidates whose unguarded solve blew
+    up — the very designs the guard exists to rescue) are ranked LAST at
+    screening, so they only enter the finalist set when fewer than ``k``
+    candidates survived screening; their guarded re-evaluation is then
+    what decides whether they are usable.
+
+    Args:
+        objective_fn: design -> scalar; the expensive truth (guarded
+            solver, f64 cross-eval wrapper, higher n_substeps, ...).
+        designs: pytree with a leading population axis (as returned by the
+            multi-start drivers).
+        screen_values: (B,) screening objectives (e.g.
+            ``MultistartResult.objective_values[-1]``).
+        k: finalist count (static; clipped to the population size).
+
+    Returns:
+        FinalistResult; ``best_index`` / ``best_design`` are re-ranked by
+        the re-evaluated objective (non-finite re-evaluations never win).
+    """
+
+    screen_values = jnp.asarray(screen_values)
+    B = screen_values.shape[0]
+    k = int(min(k, B))
+    if k < 1:
+        raise ValueError("reevaluate_finalists needs k >= 1")
+    ranked = jnp.where(
+        jnp.isfinite(screen_values),
+        screen_values,
+        -jnp.inf if maximize else jnp.inf,
+    )
+    _, idx = jax.lax.top_k(ranked if maximize else -ranked, k)
+    finalists = jax.tree.map(lambda d: d[idx], designs)
+    values = jax.lax.map(objective_fn, finalists)
+    revalued = jnp.where(
+        jnp.isfinite(values), values, -jnp.inf if maximize else jnp.inf
+    )
+    best = jnp.argmax(revalued) if maximize else jnp.argmin(revalued)
+    return FinalistResult(
+        indices=idx,
+        values=values,
+        screen_values=screen_values[idx],
+        best_index=idx[best],
+        best_design=jax.tree.map(lambda d: d[best], finalists),
+    )
+
+
 def random_initial_designs(key, base_design, n_candidates: int, scale: float):
     """Jittered candidates around a base design (leading candidate axis)."""
 

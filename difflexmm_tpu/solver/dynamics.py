@@ -399,7 +399,7 @@ def setup_dynamic_solver(
             ``window`` (the contact barrier window; threshold =
             ``fraction * window``, fraction default 0.02), plus optional
             ``refine`` (micro-steps per risky substep, default 16),
-            ``levels`` (recursion depth, default 2), ``length_scale``
+            ``levels`` (recursion depth, default 1), ``length_scale``
             (count translational motion as travel / length_scale), and
             ``translation`` ("relative": neighbor velocity differences,
             the grid-backend default — bulk motion closes no void; or

@@ -111,9 +111,11 @@ def harness():
     return mk, cp, state0, timepoints, min_void_angles
 
 
-# refine=8/levels=2 -> fully refined substeps match the n_substeps=128
-# reference exactly, keeping the fast tier cheap.
-GUARD = dict(window=float(CUT_A - MIN_A), length_scale=1.0, refine=8)
+# refine=8/levels=2 (levels pinned: the default is now 1) -> fully
+# refined substeps match the n_substeps=128 reference exactly, keeping the
+# fast tier cheap while still exercising the recursive second level.
+GUARD = dict(window=float(CUT_A - MIN_A), length_scale=1.0, refine=8,
+             levels=2)
 # Same spec with the dense layout's absolute translational term, for
 # apples-to-apples dense-vs-pallas comparisons (the grid backends default
 # to translation="relative").
@@ -319,7 +321,11 @@ def test_dense_rejects_relative_translation(harness):
 def test_guard_spec_validation():
     g = resolve_guard(dict(window=0.1), theta_channels=(2,))
     assert g["threshold"] == pytest.approx(0.002)  # fraction default 0.02
-    assert g["refine"] == 16 and g["levels"] == 2
+    # levels defaults to 1: an XLA cond costs ~its total branch size per
+    # substep even when not taken, so the nested level multiplies guarded
+    # adjoint cost ~5x for no measured accuracy gain (TUNNELING.json
+    # GUARD_L1R16).
+    assert g["refine"] == 16 and g["levels"] == 1
     assert g["translation"] == "relative"
     with pytest.raises(ValueError, match="translation"):
         resolve_guard(dict(window=0.1, translation="sideways"),
@@ -373,3 +379,42 @@ def test_all_model_families_accept_guard():
     for cls in classes:
         names = {f.name for f in dataclasses.fields(cls)}
         assert "guard" in names, cls.__name__
+
+
+def test_reevaluate_finalists_guarded_workflow(harness):
+    # The production multi-start recipe for guarded solvers
+    # (parallel/multistart.reevaluate_finalists): screen the population
+    # UNGUARDED under vmap, then re-evaluate the top-k with the guarded
+    # sibling through lax.map — each finalist's guard conds stay real
+    # branches (vmapping a guarded solver would select-ify them). The
+    # "design" here is the counter-rotation amplitude; large amplitudes
+    # tunnel unguarded, so the guarded re-ranking must disagree with the
+    # screening where it matters.
+    from difflexmm_tpu.parallel import reevaluate_finalists
+
+    mk, cp, state0, timepoints, _ = harness
+    screen_solve = mk("verlet_ckpt", 2)
+    truth_solve = mk("verlet_ckpt", 2, guard=GUARD)
+
+    def objective_with(solve):
+        def objective(amp):
+            sol = solve(state0 * amp, timepoints, cp())
+            return jnp.sum(sol[-1, 0, :, 2] ** 2)
+
+        return objective
+
+    amps = jnp.array([0.2, 0.6, 1.0, 1.4])
+    screen = jax.vmap(objective_with(screen_solve))(amps)
+    res = reevaluate_finalists(
+        objective_with(truth_solve), amps, screen, k=2
+    )
+    assert jnp.all(jnp.isfinite(res.values))
+    assert res.indices.shape == (2,)
+    # The guarded truth of each finalist matches a direct (unbatched)
+    # guarded evaluation: same branch decisions, same micro-stepping —
+    # only last-bit fusion differences between the traced lax.map and the
+    # eager call are allowed.
+    direct = jnp.stack(
+        [objective_with(truth_solve)(amps[int(i)]) for i in res.indices]
+    )
+    assert jnp.allclose(res.values, direct, rtol=1e-12, atol=0.0)

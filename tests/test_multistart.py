@@ -307,3 +307,49 @@ def test_population_value_and_grad_chunked_matches_straight():
     # indivisible chunk falls back to the single vjp
     v3, _ = population_value_and_grad(objective, designs, grad_chunk=3)
     assert jnp.array_equal(v0, v3)
+
+
+def test_reevaluate_finalists_reranks():
+    from difflexmm_tpu.parallel import reevaluate_finalists
+
+    # Screening picks candidates 4, 3, 2 (values 40, 30, 20); the truth
+    # objective inverts their order, so the re-ranked winner is index 2.
+    designs = {"a": jnp.arange(5.0)}
+    screen = jnp.array([0.0, 10.0, 20.0, 30.0, 40.0])
+
+    def truth(d):
+        return -d["a"]  # smaller index is better under the truth
+
+    res = reevaluate_finalists(truth, designs, screen, k=3, maximize=True)
+    assert list(res.indices) == [4, 3, 2]
+    assert jnp.allclose(res.values, jnp.array([-4.0, -3.0, -2.0]))
+    assert jnp.allclose(res.screen_values, jnp.array([40.0, 30.0, 20.0]))
+    assert int(res.best_index) == 2
+    assert float(res.best_design["a"]) == 2.0
+
+
+def test_reevaluate_finalists_nan_handling():
+    from difflexmm_tpu.parallel import reevaluate_finalists
+
+    # NaN screening values rank last (blown-up unguarded solves only enter
+    # the finalist set if fewer than k candidates survived); NaN truth
+    # values never win.
+    designs = {"a": jnp.arange(4.0)}
+    screen = jnp.array([jnp.nan, 1.0, 2.0, jnp.nan])
+
+    def truth(d):
+        # candidate 2 (the screening winner) turns out non-finite under
+        # the guarded/oracle objective; candidate 1 must win.
+        return jnp.where(d["a"] == 2.0, jnp.nan, d["a"])
+
+    res = reevaluate_finalists(truth, designs, screen, k=2, maximize=True)
+    assert set(map(int, res.indices)) == {1, 2}
+    assert int(res.best_index) == 1
+
+    # k larger than the population clips; minimize mode ranks accordingly.
+    res = reevaluate_finalists(
+        lambda d: d["a"], designs, screen, k=10, maximize=False
+    )
+    assert res.indices.shape == (4,)
+    assert int(res.best_index) == 0  # truth value 0.0 is the minimum
+

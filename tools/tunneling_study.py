@@ -123,20 +123,27 @@ def main():
             results[mode] = v
             print(f"{mode}: {v}", flush=True)
 
-    record = dict(
-        config="paper flagship (24x16, 200 timepoints; bench.paper_config)",
-        objectives=results,
+    # Merge: other tools (guarded_adjoint_bench, guard_threshold_sweep)
+    # store their sections in the same artifact, and a --modes subset run
+    # must keep previously recorded cases — never clobber either.
+    out = Path(args.out)
+    record = json.loads(out.read_text()) if out.exists() else {}
+    record["config"] = (
+        "paper flagship (24x16, 200 timepoints; bench.paper_config)"
     )
-    if "f64_odeint_oracle" in results:
-        oracle = results["f64_odeint_oracle"]
-        for mode, v in results.items():
+    objectives = dict(record.get("objectives", {}))
+    objectives.update(results)
+    record["objectives"] = objectives
+    if "f64_odeint_oracle" in objectives:
+        oracle = objectives["f64_odeint_oracle"]
+        for mode, v in objectives.items():
             if mode != "f64_odeint_oracle":
                 record[f"{mode}_rel_err"] = (
                     None
                     if math.isnan(v)
                     else abs(v - oracle) / max(abs(oracle), 1e-30)
                 )
-    Path(args.out).write_text(json.dumps(record, indent=2) + "\n")
+    out.write_text(json.dumps(record, indent=2) + "\n")
     print(json.dumps(record, indent=2))
 
 
