@@ -167,20 +167,30 @@ def target_patch_ids(
 def resolve_model_guard(guard, min_angle, cutoff_angle, spacing):
     """Resolve a model-level ``guard`` field into a solver guard spec.
 
-    ``None`` -> off; ``"auto"`` -> threshold from the contact-barrier
-    window (``cutoff_angle - min_angle``) with translational travel counted
-    at the lattice ``spacing``; a dict passes through (with ``window`` /
-    ``length_scale`` filled in when absent). The ``translation`` mode is
-    left to the backend: grid layouts default to "relative" (neighbor
-    velocity differences — bulk pulse motion closes no void and must not
-    fire), the dense layout to "absolute". See
-    solver.dynamics.setup_dynamic_solver's ``guard`` docs.
+    ``None`` -> off; ``"auto"`` -> the cost-proportional production spec:
+    threshold from the contact-barrier window (``cutoff_angle -
+    min_angle``), translational travel counted at the lattice ``spacing``,
+    the travel term gated on barrier PROXIMITY (2 windows —
+    fast-but-far-from-contact trajectories pay nothing) plus the
+    unconditional hard stability term (0.1 window — force spikes away
+    from contact, exploding states, NaN). Margins measured at the
+    flagship: PROXIMITY_STUDY.json (healthy voids stay >= 6 windows out
+    at <= 1.6x-threshold travel; unstable optimizer-exploit designs
+    exceed the hard term by ~1e8x). A dict passes through (with
+    ``window`` / ``length_scale`` filled in when absent) — travel-only
+    unless it sets proximity keys itself, which maximizes refinement
+    (e.g. deliberately coarse ``n_substeps``) at travel-proportional
+    cost. The ``translation`` mode is left to the backend: grid layouts
+    default to "relative" (neighbor velocity differences — bulk pulse
+    motion closes no void and must not fire), the dense layout to
+    "absolute". See solver.dynamics.setup_dynamic_solver's ``guard``
+    docs.
     """
 
     if guard is None:
         return None
     if guard == "auto":
-        guard = {}
+        guard = {"proximity_windows": 2.0, "hard_fraction": 0.1}
     elif not isinstance(guard, dict):
         raise ValueError(f"guard must be None, 'auto', or a dict; got {guard!r}")
     guard = dict(guard)

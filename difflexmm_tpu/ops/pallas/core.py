@@ -199,6 +199,30 @@ def resolve_guard(guard, theta_channels, default_translation="relative"):
         window: alternative to ``threshold`` — the barrier window
             ``cutoff_angle - min_angle``; threshold = ``fraction * window``.
         fraction: of ``window`` (default 0.02).
+        proximity / proximity_windows: barrier-proximity gate (radians /
+            multiples of ``window``). When set, the travel term fires ONLY
+            while the closest void angle is within ``proximity`` of the
+            contact cutoff — fast-but-far-from-contact trajectories pay
+            nothing (the travel-only r4 predicate fired on ~50% of
+            flagship intervals whose contacts never engage,
+            TUNNELING.json GUARDED_ADJOINT). Measured margins
+            (PROXIMITY_STUDY.json, flagship 24x16): healthy trajectories
+            keep every void >= 6 windows from the cutoff while the
+            travel term alone fires on 30-50% of intervals, so a
+            2-window margin zeroes the healthy firing rate with 3x
+            headroom. Requires a lattice family with a gap function
+            (the grid backends; the dense layout needs connectivity).
+        hard / hard_fraction: unconditional stability threshold (radians /
+            multiples of ``window``). Travel beyond it refines REGARDLESS
+            of proximity — the governor for force spikes away from
+            contact (nonlinear ligament stiffening, exploding states,
+            NaN). Defaults to ``5 * threshold`` (= 0.1 window at the
+            default fraction) when ``proximity`` is enabled: healthy
+            flagship travel tops out at 1.6x threshold while unstable
+            optimizer-exploit designs exceed it by 1e8x
+            (PROXIMITY_STUDY.json), so 5x separates them cleanly.
+            Without ``proximity`` the travel term is already
+            unconditional and ``hard`` stays off.
         refine: micro-steps per refined substep (default 16).
         levels: recursive refinement depth (default 1). Extra levels
             re-check the predicate at the finer dt and can refine again,
@@ -253,8 +277,32 @@ def resolve_guard(guard, theta_channels, default_translation="relative"):
                 "(the contact barrier window cutoff_angle - min_angle)."
             )
         threshold = fraction * float(window)
+
+    def _windows(key_abs, key_rel, default=None):
+        """A radians-or-window-multiples pair of spec keys."""
+
+        value = g.pop(key_abs, None)
+        rel = g.pop(key_rel, None)
+        if value is not None and rel is not None:
+            raise ValueError(f"give '{key_abs}' or '{key_rel}', not both")
+        if rel is not None:
+            if window is None:
+                raise ValueError(f"'{key_rel}' needs 'window' in the spec")
+            return float(rel) * float(window)
+        return float(value) if value is not None else default
+
+    proximity = _windows("proximity", "proximity_windows")
+    # NaN-safety: with the travel term gated on proximity, a NaN state far
+    # from any barrier would never refine without the unconditional hard
+    # term — so enabling proximity always enables hard.
+    hard = _windows(
+        "hard", "hard_fraction",
+        default=5.0 * float(threshold) if proximity is not None else None,
+    )
     resolved = dict(
         threshold=float(threshold),
+        proximity=proximity,
+        hard=hard,
         refine=int(g.pop("refine", 16)),
         levels=int(g.pop("levels", 1)),
         length_scale=g.pop("length_scale", None),
@@ -263,6 +311,10 @@ def resolve_guard(guard, theta_channels, default_translation="relative"):
     )
     if g:
         raise ValueError(f"unknown guard spec keys: {sorted(g)}")
+    if proximity is not None and proximity <= 0:
+        raise ValueError("guard proximity must be positive")
+    if hard is not None and hard <= resolved["threshold"]:
+        raise ValueError("guard hard threshold must exceed 'threshold'")
     if resolved["translation"] not in ("relative", "absolute"):
         raise ValueError(
             "guard translation must be 'relative' or 'absolute'; got "
@@ -331,6 +383,45 @@ def guard_travel(V, A, dt, guard):
     return t
 
 
+def make_risk_predicate(guard, travel_fn, gap_fn):
+    """The guard's per-substep risk predicate.
+
+    ``travel_fn(V, A, dt) -> scalar`` predicted travel;
+    ``gap_fn(U) -> scalar`` min void angle minus the contact cutoff
+    (+inf semantics when the family has no active barrier), or ``None``
+    when the layout cannot compute gaps — then ``proximity`` must not be
+    set (callers validate with a named error).
+
+    risky = (travel > threshold  AND  gap < proximity)   [accuracy term]
+          OR travel > hard                               [stability term]
+
+    NaN travel fires through either term (``~(x <= t)`` is True for NaN);
+    a NaN gap disables the proximity term but the hard term still fires
+    (resolve_guard forces ``hard`` on whenever ``proximity`` is set).
+    """
+
+    threshold = guard["threshold"]
+    proximity = guard.get("proximity")
+    hard = guard.get("hard")
+    if proximity is not None and gap_fn is None:
+        raise ValueError(
+            "guard 'proximity' needs a lattice gap function; this layout "
+            "has none (use the grid backends, or drop the proximity gate)."
+        )
+
+    def risk(carry, dt):
+        U, V, A = carry
+        travel = travel_fn(V, A, dt)
+        risky = ~(travel <= threshold)
+        if proximity is not None:
+            risky = risky & (gap_fn(U) < proximity)
+        if hard is not None:
+            risky = risky | ~(travel <= hard)
+        return risky
+
+    return risk
+
+
 # Trace-time switch for the guarded adjoint's per-interval risky dispatch
 # (tests flip it to validate the dispatch against the always-guarded vjp).
 _GUARD_ADJOINT_DISPATCH = True
@@ -343,16 +434,18 @@ _GUARD_ADJOINT_DISPATCH = True
 _GUARD_FORCE_RISKY = None
 
 
-def make_guarded_stepper(one_step, travel_fn, guard, remat: bool = True):
+def make_guarded_stepper(
+    one_step, risk_fn, guard, remat: bool = True, return_risk: bool = False
+):
     """Wrap a single Verlet step with reactive substep escalation.
 
     ``one_step(carry, t_start, dt) -> carry`` advances by dt;
-    ``travel_fn(V, A, dt) -> scalar`` is the risk metric. Returns a stepper
-    with the same signature that, when the predicted travel exceeds the
-    guard threshold, re-runs the substep as ``refine`` micro-steps
-    (recursively up to ``levels`` deep). The predicate uses
-    ``~(travel <= threshold)`` so NaN states also refine (too late to save
-    that step, but the refined replay inside the adjoint stays consistent).
+    ``risk_fn(carry, dt) -> bool`` is the risk predicate (see
+    :func:`make_risk_predicate`). Returns a stepper with the same
+    signature that, when the predicate fires, re-runs the substep as
+    ``refine`` micro-steps (recursively up to ``levels`` deep). NaN
+    states also refine (too late to save that step, but the refined
+    replay inside the adjoint stays consistent).
 
     Differentiable: ``lax.cond`` supports reverse-mode; under ``vmap`` it
     becomes a select (both branches run — every substep pays the full
@@ -369,20 +462,24 @@ def make_guarded_stepper(one_step, travel_fn, guard, remat: bool = True):
     difference at a near-threshold substep — far from the spikes the
     guard exists for — but bit-level forward/backward consistency is only
     guaranteed for ``verlet``/``verlet_ckpt`` (XLA forward).
+
+    ``return_risk``: the returned stepper also reports whether its
+    outer-level predicate fired — ``stepper(carry, t, dt) -> (carry,
+    risk)`` — so the forward pass can record per-interval risk flags for
+    the stored-state adjoint at zero extra cost (the predicate is
+    computed for the cond anyway).
     """
 
-    threshold = guard["threshold"]
     refine = guard["refine"]
 
-    def build(level):
+    def build(level, outer=False):
         if level == 0:
             return one_step
 
         inner = build(level - 1)
 
         def stepper(carry, t_start, dt):
-            _, V, A = carry
-            risk = ~(travel_fn(V, A, dt) <= threshold)
+            risk = risk_fn(carry, dt)
 
             # Rematerialized (remat=True): without it, reverse-mode stores
             # every micro-step's residuals (refine**levels per risky
@@ -406,11 +503,12 @@ def make_guarded_stepper(one_step, travel_fn, guard, remat: bool = True):
             def coarse(c):
                 return one_step(c, t_start, dt)
 
-            return lax.cond(risk, fine, coarse, carry)
+            new = lax.cond(risk, fine, coarse, carry)
+            return (new, risk) if outer else new
 
         return stepper
 
-    return build(guard["levels"])
+    return build(guard["levels"], outer=return_risk)
 
 
 def make_interval_body(
@@ -421,12 +519,29 @@ def make_interval_body(
     guard=None,
     guard_remat: bool = True,
     risk_flag: bool = False,
+    gap_of: Optional[Callable] = None,
+    emit_risk: bool = False,
 ):
     """All n_substeps Verlet steps on plane states (single source of truth
     for the Pallas kernel and the XLA rematerialization path).
 
+    ``emit_risk`` (requires ``guard``): integrate GUARDED and also return
+    ``((U, V, A), risky)`` where ``risky`` is True iff any substep's
+    outer predicate fired. The flags are recorded by the forward pass so
+    the stored-state adjoint can dispatch per interval WITHOUT a
+    separate monitor replay (the flags cost nothing — the predicate is
+    computed for each substep's cond anyway). Equivalence to the
+    ``risk_flag`` monitor: up to (and including) the first firing
+    substep the guarded and unguarded trajectories coincide, so both
+    modes fire on exactly the same first substep; after it both are
+    already True.
+
     ``guard``: resolved reactive-substep spec (see :func:`resolve_guard`);
     risky substeps are re-run as micro-steps via ``lax.cond``.
+
+    ``gap_of(U, fixed) -> scalar``: family-specific barrier gap (min void
+    angle minus the contact cutoff) for the guard's proximity term; pass
+    ``None`` for layouts without one (proximity then rejects at build).
 
     ``risk_flag`` (requires ``guard``): integrate UNGUARDED but monitor the
     guard's outer-level predicate, returning ``((U, V, A), risky)`` where
@@ -457,18 +572,22 @@ def make_interval_body(
             A1 = (F1 - damping_c * V1) * inv_m
             return U1, V1, A1
 
+        if guard is not None:
+            risk_fn = make_risk_predicate(
+                guard,
+                lambda Vc, Ac, ddt: guard_travel(Vc, Ac, ddt, guard),
+                None if gap_of is None else (lambda Uc: gap_of(Uc, fixed)),
+            )
+
         if risk_flag:
             if guard is None:
                 raise ValueError("risk_flag requires a guard spec")
-            threshold = guard["threshold"]
 
             def step_flagged(i, acc):
                 carry, risky = acc
-                _, Vc, Ac = carry
-                travel = guard_travel(Vc, Ac, dt, guard)
                 return (
                     one_step(carry, t0 + i * dt, dt),
-                    risky | ~(travel <= threshold),
+                    risky | risk_fn(carry, dt),
                 )
 
             return lax.fori_loop(
@@ -480,10 +599,22 @@ def make_interval_body(
             stepper = one_step
         else:
             stepper = make_guarded_stepper(
-                one_step,
-                lambda V, A, ddt: guard_travel(V, A, ddt, guard),
-                guard,
-                remat=guard_remat,
+                one_step, risk_fn, guard, remat=guard_remat,
+                return_risk=emit_risk,
+            )
+
+        if emit_risk:
+            if guard is None:
+                raise ValueError("emit_risk requires a guard spec")
+
+            def step_emitting(i, acc):
+                carry, fired = acc
+                carry, risk = stepper(carry, t0 + i * dt, dt)
+                return carry, fired | risk
+
+            return lax.fori_loop(
+                0, n_substeps, step_emitting,
+                ((U, V, A), jnp.asarray(False)),
             )
 
         def step(i, carry):
@@ -547,6 +678,7 @@ def build_verlet_trajectory(
     forward_impl: str = "pallas",
     backward_impl: str = "xla",
     guard=None,
+    gap_of: Optional[Callable] = None,
 ):
     """Chunked whole-trajectory fused kernel.
 
@@ -589,9 +721,26 @@ def build_verlet_trajectory(
     # Two bodies, one physics: the XLA body keeps jax.checkpoint on the
     # guard's fine branch (adjoint memory); the Mosaic kernel body must
     # not (remat2 has no Pallas TPU lowering) and is forward-only anyway.
-    body = make_interval_body(n_fixed, n_substeps, force, has_loading, guard)
+    emit = guard is not None
+    body = make_interval_body(
+        n_fixed, n_substeps, force, has_loading, guard, gap_of=gap_of
+    )
+    # Guarded forwards also emit per-interval risk flags (free — the
+    # predicate is computed for each substep's cond anyway); the
+    # stored-state adjoint dispatches on them directly instead of paying
+    # a separate monitor replay (measured 14.9 ms of the 37.3 ms guarded
+    # flagship fwd+grad before this, TUNNELING.json GUARDED_ADJOINT r5).
+    body_run = (
+        make_interval_body(
+            n_fixed, n_substeps, force, has_loading, guard, gap_of=gap_of,
+            emit_risk=True,
+        )
+        if emit
+        else body
+    )
     kernel_body = make_interval_body(
-        n_fixed, n_substeps, force, has_loading, guard, guard_remat=False
+        n_fixed, n_substeps, force, has_loading, guard, guard_remat=False,
+        gap_of=gap_of, emit_risk=emit,
     )
 
     def pallas_forward(carry, timepoints, arrays):
@@ -604,7 +753,9 @@ def build_verlet_trajectory(
         def kernel(*refs):
             U0_ref, V0_ref, A0_ref, ts_ref = refs[:4]
             array_refs = refs[4:4 + n_arrays]
-            outU_ref, outV_ref, outA_ref = refs[4 + n_arrays:4 + n_arrays + 3]
+            n_outs = 4 if emit else 3
+            out_refs = refs[4 + n_arrays:4 + n_arrays + n_outs]
+            outU_ref, outV_ref, outA_ref = out_refs[:3]
             scrU, scrV, scrA = refs[-3:]
             g = pl.program_id(0)
 
@@ -628,9 +779,16 @@ def build_verlet_trajectory(
                     k_safe = jnp.minimum(k, n_int - 1)
                     t0 = ts_ref[k_safe, 0]
                     t1 = ts_ref[k_safe + 1, 0]
-                    U1, V1, A1 = kernel_body(
+                    stepped = kernel_body(
                         U, V, A, t0, (t1 - t0) / n_substeps, arrays_k
                     )
+                    if emit:
+                        (U1, V1, A1), risky = stepped
+                        out_refs[3][kk] = jnp.where(
+                            valid & risky, 1.0, 0.0
+                        ).astype(U.dtype).reshape(1)
+                    else:
+                        U1, V1, A1 = stepped
                     U1 = jnp.where(valid, U1, U)
                     V1 = jnp.where(valid, V1, V)
                     A1 = jnp.where(valid, A1, A)
@@ -651,37 +809,44 @@ def build_verlet_trajectory(
         out_spec = pl.BlockSpec(
             (_chunk,) + U0.shape, lambda g: (g,) + (0,) * U0.ndim
         )
+        out_shapes = (out_shape,) * 3
+        out_specs = (out_spec,) * 3
+        if emit:
+            out_shapes = out_shapes + (
+                jax.ShapeDtypeStruct((n_int, 1), U0.dtype),
+            )
+            out_specs = out_specs + (
+                pl.BlockSpec((_chunk, 1), lambda g: (g, 0)),
+            )
         ts = timepoints.astype(U0.dtype).reshape(T, 1)
         outs = pl.pallas_call(
             kernel,
             grid=(n_chunks,),
-            out_shape=(out_shape,) * 3,
+            out_shape=out_shapes,
             in_specs=[whole(U0)] * 3 + [whole(ts)] + [whole(x) for x in flat_arrays],
-            out_specs=(out_spec,) * 3,
+            out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM(U0.shape, U0.dtype)] * 3,
             interpret=interpret,
         )(U0, V0, A0, ts, *flat_arrays)
+        if emit:
+            return tuple(outs[:3]) + (outs[3][:, 0] > 0.5,)
         return tuple(outs)
 
     def xla_interval_t(carry, t0, t1, arrays):
         return body(carry[0], carry[1], carry[2], t0, (t1 - t0) / n_substeps, arrays)
 
-    if guard is not None:
-        # Unguarded replay + outer-risk monitor for the adjoint's
-        # per-interval dispatch (see trajectory_bwd), plus the unguarded
-        # twin body the non-risky branch differentiates.
-        _flag_body = make_interval_body(
-            n_fixed, n_substeps, force, has_loading, guard, risk_flag=True
-        )
-        _plain_body = make_interval_body(
-            n_fixed, n_substeps, force, has_loading, None
-        )
-
-        def flag_interval_t(carry, t0, t1, arrays):
-            return _flag_body(
+    if emit:
+        # Flag-emitting forward interval, plus the unguarded twin body
+        # the adjoint's non-risky branch differentiates.
+        def run_interval_t(carry, t0, t1, arrays):
+            return body_run(
                 carry[0], carry[1], carry[2], t0,
                 (t1 - t0) / n_substeps, arrays,
             )
+
+        _plain_body = make_interval_body(
+            n_fixed, n_substeps, force, has_loading, None
+        )
 
         def plain_interval_t(carry, t0, t1, arrays):
             return _plain_body(
@@ -695,26 +860,34 @@ def build_verlet_trajectory(
 
         def step(c, ts_pair):
             t0, t1 = ts_pair
+            if emit:
+                c1, risky = run_interval_t(c, t0, t1, arrays)
+                return c1, (c1, risky)
             c1 = xla_interval_t(c, t0, t1, arrays)
             return c1, c1
 
         _, outs = lax.scan(
             step, carry, (timepoints[:-1], timepoints[1:])
         )
+        if emit:
+            (oU, oV, oA), risky = outs
+            return oU, oV, oA, risky
         return tuple(outs)
 
     forward = pallas_forward if forward_impl == "pallas" else xla_forward
 
     @jax.custom_vjp
     def trajectory(carry, timepoints, arrays):
-        return forward(carry, timepoints, arrays)
+        return tuple(forward(carry, timepoints, arrays)[:3])
 
     def trajectory_fwd(carry, timepoints, arrays):
         outs = forward(carry, timepoints, arrays)
-        return outs, (carry, timepoints, arrays, outs)
+        primal = tuple(outs[:3])
+        risky = outs[3] if emit else None
+        return primal, (carry, timepoints, arrays, primal, risky)
 
     def trajectory_bwd(residuals, cotangents):
-        carry0, timepoints, arrays, outs = residuals
+        carry0, timepoints, arrays, outs, risky_fwd = residuals
         gU, gV, gA = cotangents
         outU, outV, outA = outs
         # Interval-input states: carry0 then the stored boundary states.
@@ -726,32 +899,22 @@ def build_verlet_trajectory(
 
         dispatch = guard is not None and _GUARD_ADJOINT_DISPATCH
         if dispatch:
-            # Guarded adjoint, fast path. Risk flags for ALL intervals in
-            # one batched unguarded replay (interval input states are the
-            # stored residuals, so every interval's monitor is independent
-            # — XLA batches the whole sweep): an interval is risky iff any
-            # of its substeps would fire the guard. Where none would, the
+            # Guarded adjoint, fast path: the FORWARD pass already
+            # recorded which intervals fired the guard (emit_risk — the
+            # predicate is computed for each substep's cond anyway), so
+            # the backward dispatches on the stored flags with NO monitor
+            # replay (the r4 monitor sweep cost 14.9 ms of the 37.3 ms
+            # guarded flagship fwd+grad). Where no substep fired, the
             # unguarded vjp IS the guarded vjp (lax.cond differentiates
             # the taken branch), so only risky intervals pay the
             # per-substep control flow of differentiating the guarded
             # body. Each cond branch runs its own jax.vjp INSIDE the
-            # branch: hoisting vjp_u out of the cond (the previous design)
-            # forces its linearization residuals — every per-substep
-            # intermediate of the replay — across the cond boundary as
-            # materialized operands; branch-internal replay keeps
-            # residuals fused and only states/cotangents cross. Measured
-            # at the flagship (TUNNELING.json GUARDED_ADJOINT): the
-            # dispatch structure costs 33 ms at forced-zero firing vs
-            # 22 ms unguarded; the monitored mask lands near the forced
-            # all-risky ceiling because the flagship pulse genuinely
-            # fires ~80% of intervals.
-            def monitor(cU, cV, cA, t0, t1):
-                _, risky = flag_interval_t((cU, cV, cA), t0, t1, arrays)
-                return risky
-
-            risky_all = jax.vmap(monitor)(
-                cinU, cinV, cinA, timepoints[:-1], timepoints[1:]
-            )
+            # branch: hoisting vjp_u out of the cond forces its
+            # linearization residuals — every per-substep intermediate of
+            # the replay — across the cond boundary as materialized
+            # operands; branch-internal replay keeps residuals fused and
+            # only states/cotangents cross.
+            risky_all = risky_fwd
             if _GUARD_FORCE_RISKY == "all":
                 risky_all = jnp.ones_like(risky_all)
             elif _GUARD_FORCE_RISKY == "none":
@@ -759,33 +922,43 @@ def build_verlet_trajectory(
         else:
             risky_all = jnp.zeros((n_int,), dtype=bool)
 
-        def rev_step(acc, xs):
-            cbar, d_arrays, d_ts = acc
-            k, cU, cV, cA, t0, t1, gUk, gVk, gAk, risky = xs
-            cot = (cbar[0] + gUk, cbar[1] + gVk, cbar[2] + gAk)
+        def make_rev_step(mode):
+            """Reverse-scan body. ``mode``: "guarded" differentiates the
+            guarded interval unconditionally; "plain" the unguarded twin
+            (exact when no substep fired); "dispatch" conds per interval
+            on the stored flag."""
 
-            def grads_of(interval_fn):
-                def grads(cot):
-                    _, vjp = jax.vjp(
-                        lambda c, a, b, arr: interval_fn(c, a, b, arr),
-                        (cU, cV, cA), t0, t1, arrays,
+            def rev_step(acc, xs):
+                cbar, d_arrays, d_ts = acc
+                k, cU, cV, cA, t0, t1, gUk, gVk, gAk, risky = xs
+                cot = (cbar[0] + gUk, cbar[1] + gVk, cbar[2] + gAk)
+
+                def grads_of(interval_fn):
+                    def grads(cot):
+                        _, vjp = jax.vjp(
+                            lambda c, a, b, arr: interval_fn(c, a, b, arr),
+                            (cU, cV, cA), t0, t1, arrays,
+                        )
+                        return vjp(cot)
+
+                    return grads
+
+                if mode == "guarded":
+                    d_cin, d_t0, d_t1, d_arr = grads_of(xla_interval_t)(cot)
+                elif mode == "plain":
+                    d_cin, d_t0, d_t1, d_arr = grads_of(plain_interval_t)(cot)
+                else:
+                    d_cin, d_t0, d_t1, d_arr = lax.cond(
+                        risky,
+                        grads_of(xla_interval_t),
+                        grads_of(plain_interval_t),
+                        cot,
                     )
-                    return vjp(cot)
+                d_arrays = jax.tree.map(jnp.add, d_arrays, d_arr)
+                d_ts = d_ts.at[k].add(d_t0).at[k + 1].add(d_t1)
+                return (d_cin, d_arrays, d_ts), None
 
-                return grads
-
-            if not dispatch:
-                d_cin, d_t0, d_t1, d_arr = grads_of(xla_interval_t)(cot)
-            else:
-                d_cin, d_t0, d_t1, d_arr = lax.cond(
-                    risky,
-                    grads_of(xla_interval_t),
-                    grads_of(plain_interval_t),
-                    cot,
-                )
-            d_arrays = jax.tree.map(jnp.add, d_arrays, d_arr)
-            d_ts = d_ts.at[k].add(d_t0).at[k + 1].add(d_t1)
-            return (d_cin, d_arrays, d_ts), None
+            return rev_step
 
         ks = jnp.arange(n_int)
         init = (
@@ -793,14 +966,33 @@ def build_verlet_trajectory(
             zero_arrays,
             jnp.zeros_like(timepoints),
         )
-        (d_carry0, d_arrays, d_ts), _ = lax.scan(
-            rev_step,
-            init,
-            (ks, cinU, cinV, cinA, timepoints[:-1], timepoints[1:], gU, gV,
-             gA, risky_all),
-            reverse=True,
+        xs = (ks, cinU, cinV, cinA, timepoints[:-1], timepoints[1:], gU, gV,
+              gA, risky_all)
+
+        def scan_with(mode):
+            def run(_):
+                (d_carry0, d_arrays, d_ts), _ = lax.scan(
+                    make_rev_step(mode), init, xs, reverse=True
+                )
+                return d_carry0, d_ts, d_arrays
+
+            return run
+
+        if not dispatch:
+            return scan_with("guarded")(None)
+        # Whole-scan dispatch on ANY interval being risky: the common case
+        # (healthy trajectory, zero firing) takes a cond-free reverse scan
+        # XLA can fuse — a per-interval data-dependent cond costs ~11 ms
+        # at the flagship even when never taken (r5 measured, TUNNELING
+        # GUARDED_ADJOINT). Only trajectories that actually fired pay the
+        # per-interval dispatch scan. (Under vmap both branches execute —
+        # vmapped guarded adjoints are already the discouraged path.)
+        return lax.cond(
+            jnp.any(risky_all),
+            scan_with("dispatch"),
+            scan_with("plain"),
+            None,
         )
-        return d_carry0, d_ts, d_arrays
 
     trajectory.defvjp(trajectory_fwd, trajectory_bwd)
     trajectory.xla_interval = xla_interval_t

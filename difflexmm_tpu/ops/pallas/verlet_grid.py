@@ -198,6 +198,70 @@ def quad_grid_energy_planes(
     return energy + contact
 
 
+def quad_min_void_gap_planes(U, cnv, centroids, ccut):
+    """Min void angle minus the contact cutoff, scalar (guard proximity).
+
+    Same corner/void math as :func:`quad_grid_energy_planes`'s contact
+    term (slices, poly atan2 — Mosaic-lowerable), reduced to the single
+    closest gap. Positive = the nearest void is that many radians above
+    the barrier's C^1 cutoff; ~2 barrier windows is the measured safe
+    proximity margin (PROXIMITY_STUDY.json).
+    """
+
+    ux, uy, th = U[0], U[1], U[2]
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    px = [
+        centroids[0] + ux + cth * cnv[k, 0] - sth * cnv[k, 1]
+        for k in range(4)
+    ]
+    py = [
+        centroids[1] + uy + sth * cnv[k, 0] + cth * cnv[k, 1]
+        for k in range(4)
+    ]
+
+    def voids(c1, c2, slice1, slice2):
+        n1x = px[(c1 + 1) % 4][slice1] - px[c1][slice1]
+        n1y = py[(c1 + 1) % 4][slice1] - py[c1][slice1]
+        p1x = px[(c1 - 1) % 4][slice1] - px[c1][slice1]
+        p1y = py[(c1 - 1) % 4][slice1] - py[c1][slice1]
+        n2x = px[(c2 + 1) % 4][slice2] - px[c2][slice2]
+        n2y = py[(c2 + 1) % 4][slice2] - py[c2][slice2]
+        p2x = px[(c2 - 1) % 4][slice2] - px[c2][slice2]
+        p2y = py[(c2 - 1) % 4][slice2] - py[c2][slice2]
+        return (
+            jnp.min(_angle(p2x, p2y, n1x, n1y)),
+            jnp.min(_angle(p1x, p1y, n2x, n2y)),
+        )
+
+    sl = jnp.index_exp
+    gaps = voids(0, 2, sl[..., :-1], sl[..., 1:]) + voids(
+        1, 3, sl[..., :-1, :], sl[..., 1:, :]
+    )
+    out = gaps[0]
+    for g in gaps[1:]:
+        out = jnp.minimum(out, g)
+    return out - jnp.min(ccut)
+
+
+def _quad_gap_of(use_contact: bool) -> Callable:
+    """Barrier-gap hook for the guard's proximity term (core.gap_of
+    convention). With contact statically off — or dynamically disabled
+    via k_contact = 0 — there is no barrier to be near: +inf makes the
+    proximity term never fire (only the hard stability term remains)."""
+
+    def gap_of(U, fixed):
+        if not use_contact:
+            return jnp.asarray(jnp.inf, U.dtype)
+        cnv, centroids = fixed[0], fixed[1]
+        ccut, kc = fixed[11], fixed[12]
+        gap = quad_min_void_gap_planes(U, cnv, centroids, ccut)
+        return jnp.where(
+            jnp.min(kc) > 0, gap, jnp.asarray(jnp.inf, U.dtype)
+        )
+
+    return gap_of
+
+
 def _quad_energy_of(
     linearized: bool, use_contact: bool, tiled: bool = False
 ) -> Callable:
@@ -263,4 +327,5 @@ def build_pallas_verlet_trajectory(
         forward_impl=forward_impl,
         backward_impl=backward_impl,
         guard=core.resolve_guard(guard, theta_channels=(2,)),
+        gap_of=_quad_gap_of(use_contact),
     )

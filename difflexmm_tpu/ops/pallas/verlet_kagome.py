@@ -223,6 +223,72 @@ def kagome_grid_energy_planes(
     return energy + contact
 
 
+def kagome_min_void_gap_planes(U, cnv, centroids, ccut):
+    """Min void angle minus the contact cutoff, scalar (guard proximity).
+
+    Same corner/void math as :func:`kagome_grid_energy_planes`'s contact
+    term, reduced to the single closest gap (quad analogue:
+    verlet_grid.quad_min_void_gap_planes)."""
+
+    p = []
+    for tri in range(2):
+        ux, uy, th = U[3 * tri], U[3 * tri + 1], U[3 * tri + 2]
+        cth, sth = jnp.cos(th), jnp.sin(th)
+        p.append([
+            (
+                centroids[tri, 0] + ux
+                + cth * cnv[tri, k, 0] - sth * cnv[tri, k, 1],
+                centroids[tri, 1] + uy
+                + sth * cnv[tri, k, 0] + cth * cnv[tri, k, 1],
+            )
+            for k in range(3)
+        ])
+
+    def voids(p1, c1, p2, c2, slice1, slice2):
+        n1x = p1[(c1 + 1) % 3][0][slice1] - p1[c1][0][slice1]
+        n1y = p1[(c1 + 1) % 3][1][slice1] - p1[c1][1][slice1]
+        p1x = p1[(c1 - 1) % 3][0][slice1] - p1[c1][0][slice1]
+        p1y = p1[(c1 - 1) % 3][1][slice1] - p1[c1][1][slice1]
+        n2x = p2[(c2 + 1) % 3][0][slice2] - p2[c2][0][slice2]
+        n2y = p2[(c2 + 1) % 3][1][slice2] - p2[c2][1][slice2]
+        p2x = p2[(c2 - 1) % 3][0][slice2] - p2[c2][0][slice2]
+        p2y = p2[(c2 - 1) % 3][1][slice2] - p2[c2][1][slice2]
+        return (
+            jnp.min(_angle(p2x, p2y, n1x, n1y)),
+            jnp.min(_angle(p1x, p1y, n2x, n2y)),
+        )
+
+    sl = jnp.index_exp
+    full = sl[:, :]
+    gaps = (
+        voids(p[0], 1, p[1], 0, full, full)
+        + voids(p[0], 0, p[1], 2, sl[1:, :], sl[:-1, :])
+        + voids(p[0], 2, p[1], 1, sl[:, 1:], sl[:, :-1])
+    )
+    out = gaps[0]
+    for g in gaps[1:]:
+        out = jnp.minimum(out, g)
+    return out - jnp.min(ccut)
+
+
+def _kagome_gap_of(use_contact: bool) -> Callable:
+    """Barrier-gap hook for the guard's proximity term; +inf with contact
+    off (statically, or dynamically via k_contact = 0) so only the hard
+    stability term remains."""
+
+    def gap_of(U, fixed):
+        if not use_contact:
+            return jnp.asarray(jnp.inf, U.dtype)
+        cnv, centroids = fixed[0], fixed[1]
+        ccut, kc = fixed[15], fixed[16]
+        gap = kagome_min_void_gap_planes(U, cnv, centroids, ccut)
+        return jnp.where(
+            jnp.min(kc) > 0, gap, jnp.asarray(jnp.inf, U.dtype)
+        )
+
+    return gap_of
+
+
 def _kagome_energy_of(linearized: bool, use_contact: bool) -> Callable:
     """Bind kagome_grid_energy_planes to the fixed-leaves convention."""
 
@@ -271,4 +337,5 @@ def build_pallas_kagome_trajectory(
         chunk=chunk,
         forward_impl=forward_impl,
         guard=core.resolve_guard(guard, theta_channels=(2, 5)),
+        gap_of=_kagome_gap_of(use_contact),
     )

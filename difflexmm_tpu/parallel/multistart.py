@@ -208,6 +208,10 @@ class MultistartMMAResult(NamedTuple):
     rejected: any           # (n_iterations, B) full-rejection flags
     best_index: any
     best_design: any        # (n,)
+    # Guarded finalist re-ranking evidence (FinalistResult) when the
+    # driver re-evaluated the top-k with a guarded sibling objective
+    # (models/runner.run_multistart_mma final_guard); None otherwise.
+    finalists: any = None
 
 
 def run_multistart_mma(
@@ -430,7 +434,11 @@ def reevaluate_finalists(
     )
     _, idx = jax.lax.top_k(ranked if maximize else -ranked, k)
     finalists = jax.tree.map(lambda d: d[idx], designs)
-    values = jax.lax.map(objective_fn, finalists)
+    # The map MUST run compiled: an eager lax.map dispatches the guarded
+    # objective op-by-op (measured 866 ms/candidate through the tunnel vs
+    # 27 ms compiled, RESCUE_RECIPE.json r5). One trace per call is fine —
+    # finalist re-evaluation happens once per multi-start run.
+    values = jax.jit(lambda f: jax.lax.map(objective_fn, f))(finalists)
     revalued = jnp.where(
         jnp.isfinite(values), values, -jnp.inf if maximize else jnp.inf
     )

@@ -128,6 +128,35 @@ def _dense_guard_travel(v, a, dt, guard):
     return travel
 
 
+def _dense_gap_fn(bond_connectivity):
+    """Barrier gap (min void angle - cutoff) on the dense (n_blocks, 3)
+    layout, for the guard's proximity term: the general gather-based
+    contact geometry (fine in XLA — only Mosaic kernels must stay
+    gather-free). +inf when contact is absent or disabled (k_contact=0):
+    no barrier to be near, only the hard stability term fires."""
+
+    from difflexmm_tpu.ops.contact import void_angles
+    from difflexmm_tpu.ops.kinematics import current_node_positions
+
+    def gap_fn(u, control_params):
+        cpar = control_params.mechanical_params.contact_params
+        if cpar is None:
+            return jnp.asarray(jnp.inf, u.dtype)
+        gp = control_params.geometrical_params
+        nodes = current_node_positions(
+            u, gp.block_centroids, gp.centroid_node_vectors
+        )
+        gap = (
+            jnp.min(void_angles(nodes, bond_connectivity))
+            - cpar.cutoff_angle
+        )
+        return jnp.where(
+            cpar.k_contact > 0, gap, jnp.asarray(jnp.inf, u.dtype)
+        )
+
+    return gap_fn
+
+
 def _integrate_verlet(
     force_fn: Callable,
     damping_coeffs_fn: Callable,
@@ -139,6 +168,7 @@ def _integrate_verlet(
     n_substeps: int,
     checkpoint: bool,
     guard=None,
+    gap_fn=None,
 ) -> jnp.ndarray:
     """Velocity-Verlet with exact implicit treatment of diagonal damping.
 
@@ -155,7 +185,10 @@ def _integrate_verlet(
     adaptive dt at contact-barrier force spikes.
     """
 
-    from difflexmm_tpu.ops.pallas.core import make_guarded_stepper
+    from difflexmm_tpu.ops.pallas.core import (
+        make_guarded_stepper,
+        make_risk_predicate,
+    )
 
     c = damping_coeffs_fn(control_params.mechanical_params.damping)
     lp = control_params.loading_params
@@ -181,7 +214,13 @@ def _integrate_verlet(
     else:
         stepper = make_guarded_stepper(
             one_step,
-            lambda v, a, dt: _dense_guard_travel(v, a, dt, guard),
+            make_risk_predicate(
+                guard,
+                lambda v, a, dt: _dense_guard_travel(v, a, dt, guard),
+                None
+                if gap_fn is None
+                else (lambda u: gap_fn(u, control_params)),
+            ),
             guard,
         )
 
@@ -398,7 +437,12 @@ def setup_dynamic_solver(
             ``threshold`` (max rotational travel per substep, rad) or
             ``window`` (the contact barrier window; threshold =
             ``fraction * window``, fraction default 0.02), plus optional
-            ``refine`` (micro-steps per risky substep, default 16),
+            ``proximity``/``proximity_windows`` (gate the travel term on
+            barrier proximity — cost-proportional firing; grid backends
+            and connectivity-bearing dense geometries only) and
+            ``hard``/``hard_fraction`` (unconditional stability
+            threshold, forced on with proximity), ``refine``
+            (micro-steps per risky substep, default 16),
             ``levels`` (recursion depth, default 1), ``length_scale``
             (count translational motion as travel / length_scale), and
             ``translation`` ("relative": neighbor velocity differences,
@@ -457,6 +501,19 @@ def setup_dynamic_solver(
                 "guard translation='relative' needs the grid plane layout; "
                 "method='verlet' (dense) supports only 'absolute' (or use "
                 "'verlet_pallas'/'verlet_ckpt')."
+            )
+        _dense_gap = None
+        if _dense_guard.get("proximity") is not None:
+            bond_conn = getattr(geometry, "bond_connectivity", None)
+            if bond_conn is None:
+                raise ValueError(
+                    "guard 'proximity' with method='verlet' needs a "
+                    "geometry object with bond connectivity (got a bare "
+                    "n_blocks int); use the grid backends or drop the "
+                    "proximity gate."
+                )
+            _dense_gap = _dense_gap_fn(
+                jnp.asarray(bond_conn() if callable(bond_conn) else bond_conn)
             )
 
     n_blocks = geometry if isinstance(geometry, int) else geometry.n_blocks
@@ -849,6 +906,7 @@ def setup_dynamic_solver(
                 n_substeps,
                 checkpoint,
                 guard=_dense_guard if guard is not None else None,
+                gap_fn=_dense_gap if guard is not None else None,
             )
         else:
             ys = integrate(

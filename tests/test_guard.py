@@ -245,6 +245,22 @@ def test_model_guard_resolution():
     resolved = base.resolve_model_guard("auto", 0.0, jnp.deg2rad(5.0), 15.0)
     assert resolved["window"] == pytest.approx(float(jnp.deg2rad(5.0)))
     assert resolved["length_scale"] == 15.0
+    # "auto" is the cost-proportional production spec: travel gated on
+    # barrier proximity, plus the unconditional hard stability term
+    # (margins measured at the flagship, PROXIMITY_STUDY.json).
+    assert resolved["proximity_windows"] == 2.0
+    assert resolved["hard_fraction"] == 0.1
+    full = resolve_guard(resolved, theta_channels=(2,))
+    w = float(jnp.deg2rad(5.0))
+    assert full["proximity"] == pytest.approx(2.0 * w)
+    assert full["hard"] == pytest.approx(0.1 * w)
+    # Explicit dicts stay travel-only (maximal refinement) unless they
+    # opt into the proximity keys themselves.
+    explicit = resolve_guard(
+        base.resolve_model_guard(dict(fraction=0.05), 0.0, 1.0, 2.0),
+        theta_channels=(2,),
+    )
+    assert explicit["proximity"] is None and explicit["hard"] is None
     assert base.resolve_model_guard(None, 0.0, 1.0, 1.0) is None
     passthrough = base.resolve_model_guard(
         dict(threshold=1e-3), 0.0, 1.0, 2.0
@@ -318,6 +334,121 @@ def test_dense_rejects_relative_translation(harness):
         mk("verlet", 2, guard=dict(GUARD, translation="relative"))
 
 
+def test_risk_predicate_truth_table():
+    # risky = (travel > threshold AND gap < proximity) OR travel > hard;
+    # NaN travel must fire regardless of proximity (hard is forced on
+    # with proximity exactly for this).
+    from difflexmm_tpu.ops.pallas.core import make_risk_predicate
+
+    g = resolve_guard(
+        dict(threshold=1.0, proximity=0.5, hard=10.0), theta_channels=(0,)
+    )
+    gap_value = {}
+    pred = make_risk_predicate(
+        g,
+        lambda V, A, dt: V,  # travel := the raw "V" slot
+        lambda U: jnp.asarray(gap_value["g"]),
+    )
+
+    def risky(travel, gap):
+        gap_value["g"] = gap
+        return bool(pred((None, jnp.asarray(travel), None), 0.1))
+
+    assert not risky(0.5, 0.0)        # slow: never fires, even at contact
+    assert not risky(2.0, 1.0)        # fast but far from the barrier
+    assert risky(2.0, 0.4)            # fast AND near: the accuracy term
+    assert risky(20.0, 1e9)           # explosion: hard fires anywhere
+    assert risky(jnp.nan, 1e9)        # NaN travel: hard fires anywhere
+    assert risky(jnp.nan, jnp.nan)    # NaN everything still fires
+
+
+def test_proximity_requires_gap_fn():
+    from difflexmm_tpu.ops.pallas.core import make_risk_predicate
+
+    g = resolve_guard(dict(threshold=1.0, proximity=0.5), theta_channels=(0,))
+    with pytest.raises(ValueError, match="gap function"):
+        make_risk_predicate(g, lambda V, A, dt: V, None)
+
+
+def test_proximity_guard_noop_far_from_barrier(harness):
+    # The cost-proportionality contract: travel alone exceeds the
+    # threshold throughout this trajectory, but the barrier sits ~25
+    # windows away, so a proximity-gated guard must be a bit-exact no-op
+    # (hard left above the actual travel).
+    mk, cp, state0, timepoints, min_void = harness
+    far = ControlParams(
+        geometrical_params=cp().geometrical_params,
+        mechanical_params=cp().mechanical_params._replace(
+            contact_params=ContactParams(
+                jnp.deg2rad(-80.0), jnp.deg2rad(-75.0), 1.0
+            )
+        ),
+        constraint_params={},
+    )
+    prox = dict(GUARD, proximity_windows=2.0, hard_fraction=20.0)
+    plain = mk("verlet_pallas", 2, pallas_interpret=True)(
+        state0, timepoints, far
+    )
+    guarded = mk("verlet_pallas", 2, guard=prox, pallas_interpret=True)(
+        state0, timepoints, far
+    )
+    # Travel genuinely fires without the gate (the travel-only guard
+    # diverges from plain here), so the no-op is the gate's doing.
+    travel_only = mk(
+        "verlet_pallas", 2, guard=dict(GUARD), pallas_interpret=True
+    )(state0, timepoints, far)
+    assert not jnp.array_equal(plain, travel_only)
+    assert jnp.array_equal(plain, guarded), (
+        "proximity-gated guard must be a bit-exact no-op far from contact"
+    )
+
+
+def test_proximity_guard_still_bounces(harness):
+    # Cost-proportional contract at the barrier: the same lattice that
+    # tunnels unguarded (test_coarse_solve_tunnels_through_barrier) must
+    # still bounce with the proximity gate — refinement re-engages as
+    # voids close to within the margin. Unlike the travel-only guard
+    # (which effectively integrates the WHOLE trajectory at the fine
+    # step and therefore matches the 128-substep reference globally),
+    # the gated guard integrates the far-from-contact phases coarsely,
+    # so the contract here is the physics (no tunneling, barrier
+    # engaged and respected), not global bit-parity.
+    mk, cp, state0, timepoints, min_void = harness
+    prox = dict(GUARD, proximity_windows=2.0, hard_fraction=20.0)
+    guarded = mk("verlet", 2, guard=dict(prox, translation="absolute"))(
+        state0, timepoints, cp()
+    )
+    assert bool(jnp.all(jnp.isfinite(guarded)))
+    angles = min_void(np.asarray(guarded))
+    assert angles.min() < float(CUT_A)   # barrier engaged...
+    assert angles.min() >= float(MIN_A)  # ...and never crossed
+
+
+def test_proximity_guarded_adjoint_dispatch(harness):
+    # The adjoint's risk monitor uses the same proximity-gated predicate;
+    # dispatch on/off must agree through a contact event.
+    from difflexmm_tpu.ops.pallas import core
+
+    mk, cp, state0, timepoints, _ = harness
+    prox = dict(GUARD, proximity_windows=2.0, hard_fraction=20.0)
+    solve = mk("verlet_pallas", 2, guard=prox, pallas_interpret=True)
+
+    def obj(k_contact):
+        sol = solve(state0, timepoints, cp(k_contact))
+        return jnp.sum(sol[-1, 1, :, 2] ** 2)
+
+    v_fast, g_fast = jax.value_and_grad(obj)(0.01)
+    try:
+        core._GUARD_ADJOINT_DISPATCH = False
+        v_ref, g_ref = jax.value_and_grad(obj)(0.01)
+    finally:
+        core._GUARD_ADJOINT_DISPATCH = True
+    assert float(v_fast) == float(v_ref)
+    np.testing.assert_allclose(
+        float(g_fast), float(g_ref), rtol=1e-12, atol=0.0
+    )
+
+
 def test_guard_spec_validation():
     g = resolve_guard(dict(window=0.1), theta_channels=(2,))
     assert g["threshold"] == pytest.approx(0.002)  # fraction default 0.02
@@ -337,6 +468,28 @@ def test_guard_spec_validation():
     with pytest.raises(ValueError, match="refine >= 2"):
         resolve_guard(dict(window=0.1, refine=1), theta_channels=(2,))
     assert resolve_guard(None, theta_channels=(2,)) is None
+    # Proximity/hard keys: radians-or-windows pairs, hard forced on with
+    # proximity (NaN safety), hard must exceed the travel threshold.
+    p = resolve_guard(
+        dict(window=0.1, proximity_windows=2.0), theta_channels=(2,)
+    )
+    assert p["proximity"] == pytest.approx(0.2)
+    assert p["hard"] == pytest.approx(5 * p["threshold"])  # forced on
+    assert resolve_guard(dict(window=0.1), theta_channels=(2,))["hard"] is None
+    with pytest.raises(ValueError, match="needs 'window'"):
+        resolve_guard(
+            dict(threshold=1e-3, proximity_windows=2.0), theta_channels=(2,)
+        )
+    with pytest.raises(ValueError, match="not both"):
+        resolve_guard(
+            dict(window=0.1, proximity=0.1, proximity_windows=1.0),
+            theta_channels=(2,),
+        )
+    with pytest.raises(ValueError, match="hard threshold must exceed"):
+        resolve_guard(
+            dict(window=0.1, proximity_windows=1.0, hard_fraction=0.01),
+            theta_channels=(2,),
+        )
 
 
 def test_guard_rejects_non_verlet_methods(harness):

@@ -147,3 +147,68 @@ def test_robustness_map():
         )
     )(design)
     assert jnp.allclose(grid_mesh, grid, rtol=1e-10)
+
+
+def test_runner_rearms_guard_and_runs_device_loop():
+    """Trustworthy optimization by default (VERDICT r4 next #2): the MMA
+    driver rebuilds an unguarded forward problem with guard="auto"
+    (proximity-gated — bit-exact no-op on healthy trajectories) and runs
+    the iteration loop on-device (run_mma_fused)."""
+
+    problem = _tiny_problem(n_timepoints=8, n_substeps=8)
+    problem.setup()
+    opt = OptimizationProblem(problem, target_size=(2, 2))
+    design = problem.geometry.get_design_from_rotated_square(0.25)
+    assert opt.forward_problem.guard is None
+    final = opt.run_optimization_mma(
+        design,
+        n_iterations=3,
+        lower_bound=-0.3,
+        upper_bound=0.3,
+        verbose=False,
+        chunk=2,  # exercises the ragged last device chunk
+    )
+    assert opt.forward_problem.guard == "auto"
+    assert len(opt.objective_values) == 3
+    assert all(jnp.isfinite(v) for v in opt.objective_values)
+    assert jax.tree.structure(final) == jax.tree.structure(design)
+
+    # Expert opt-out: guard=None keeps the problem exactly as configured.
+    problem2 = _tiny_problem(n_timepoints=8, n_substeps=8)
+    opt2 = OptimizationProblem(problem2, target_size=(2, 2))
+    opt2.run_optimization_mma(
+        design, n_iterations=1, lower_bound=-0.3, upper_bound=0.3,
+        verbose=False, guard=None,
+    )
+    assert opt2.forward_problem.guard is None
+
+
+def test_multistart_mma_guarded_finalist_reranking():
+    """run_multistart_mma screens candidates unguarded (vmap-friendly)
+    and re-ranks the top-k through the guarded sibling objective
+    (parallel.reevaluate_finalists) — the honest value wins and the
+    evidence lands on result.finalists."""
+
+    problem = _tiny_problem(n_timepoints=8, n_substeps=8, method="verlet_ckpt",
+                            grid_energy=True)
+    problem.setup()
+    opt = OptimizationProblem(problem, target_size=(2, 2))
+    geo_design = problem.geometry.get_design_from_rotated_square(0.25)
+    guesses = [
+        jax.tree.map(lambda x, s=s: x * s, geo_design)
+        for s in (0.8, 1.0, 1.2)
+    ]
+    result = opt.run_multistart_mma(
+        guesses,
+        n_iterations=2,
+        lower_bound=-0.3,
+        upper_bound=0.3,
+        n_finalists=2,
+    )
+    assert result.finalists is not None
+    assert result.finalists.values.shape == (2,)
+    assert int(result.best_index) in [int(i) for i in result.finalists.indices]
+    assert len(opt.objective_values) == 1
+    assert jnp.isfinite(opt.objective_values[-1])
+    # The recorded best value is the guarded truth of the winner.
+    assert opt.objective_values[-1] == float(jnp.max(result.finalists.values))

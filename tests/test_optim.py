@@ -315,3 +315,197 @@ def test_mma_dual_kkt_residual_on_ill_conditioned_constraints():
     # the unconstrained projection would suggest it skipped.
     values = np.asarray(hist["objective_values"])
     assert values[-1] <= values[0]
+
+
+def test_run_mma_fused_matches_host_loop():
+    """The on-device chunked-scan driver must reproduce the host loop's
+    trajectory (identical update math; only last-bit XLA fusion
+    differences between the traced scan and the eager per-iteration
+    path are allowed)."""
+
+    import numpy as np
+    from difflexmm_tpu.optim.mma import run_mma, run_mma_fused
+
+    def objective_and_grad(x):
+        return jax.value_and_grad(
+            lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2
+        )(x)
+
+    def constraints_and_jac(x):
+        stacked = lambda z: jnp.array([z[0] + z[1] - 2.0])
+        return stacked(x), jax.jacobian(stacked)(x)
+
+    x0 = jnp.zeros((2,))
+    lo, hi = -5.0 * jnp.ones(2), 5.0 * jnp.ones(2)
+    for kwargs in (
+        dict(),
+        dict(constraints_and_jac=constraints_and_jac),
+    ):
+        x_host, h_host = run_mma(
+            objective_and_grad, x0, lo, hi, 23, **kwargs
+        )
+        # chunk=7 exercises the ragged last chunk (23 = 3*7 + 2).
+        x_dev, h_dev = run_mma_fused(
+            objective_and_grad, x0, lo, hi, 23, chunk=7, **kwargs
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_host), np.asarray(x_dev), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_host["objective_values"]),
+            np.asarray(h_dev["objective_values"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert len(h_dev["design_values"]) == 23
+        assert len(h_dev["constraints_violation"]) == 23
+        np.testing.assert_allclose(
+            np.asarray(x_dev), np.asarray(h_dev["design_values"][-1])
+        )
+
+
+def test_run_mma_fused_rejects_nonfinite_steps_on_device():
+    """The device loop's full-reject branch: a step over the stability
+    wall retreats to the last accepted iterate (flagged in the history)
+    and the run keeps improving instead of raising."""
+
+    import numpy as np
+    from difflexmm_tpu.optim.mma import run_mma_fused
+
+    def objective_and_grad(x):
+        value = jnp.sum((x - 1.0) ** 2)
+        bad = jnp.any(x > 0.6)
+        value = jnp.where(bad, jnp.nan, value)
+        grad = jnp.where(bad, jnp.nan, 2.0 * (x - 1.0))
+        return value, grad
+
+    x_final, history = run_mma_fused(
+        objective_and_grad,
+        jnp.zeros((3,)),
+        xmin=-2.0 * jnp.ones(3),
+        xmax=2.0 * jnp.ones(3),
+        n_iterations=25,
+        move_limit=0.5,
+        chunk=6,
+    )
+    values = np.asarray(history["objective_values"])
+    assert np.all(np.isfinite(values))
+    assert np.asarray(history["rejected"]).any()
+    assert values[-1] < values[0]
+    assert np.all(np.asarray(x_final) <= 0.6 + 1e-9)
+    assert float(jnp.max(jnp.asarray(x_final))) > 0.45
+
+
+def test_run_mma_fused_raises_on_bad_initial_design():
+    import pytest
+    from difflexmm_tpu.optim.mma import run_mma_fused
+
+    def objective_and_grad(x):
+        return jnp.nan * jnp.sum(x), jnp.nan * x
+
+    with pytest.raises(FloatingPointError, match="iteration 0"):
+        run_mma_fused(
+            objective_and_grad,
+            jnp.ones((2,)),
+            xmin=-2.0 * jnp.ones(2),
+            xmax=2.0 * jnp.ones(2),
+            n_iterations=4,
+        )
+
+
+def test_run_mma_fused_callback_and_max_seconds():
+    import time
+
+    from difflexmm_tpu.optim.mma import run_mma_fused
+
+    seen = []
+
+    def objective_and_grad(x):
+        return jnp.sum(x**2), 2.0 * x
+
+    _, history = run_mma_fused(
+        objective_and_grad,
+        jnp.ones((2,)),
+        xmin=-2.0 * jnp.ones(2),
+        xmax=2.0 * jnp.ones(2),
+        n_iterations=9,
+        chunk=4,
+        callback=lambda it, x, v, viol, fi: seen.append(
+            (it, float(v), fi.shape)
+        ),
+    )
+    assert [s[0] for s in seen] == list(range(9))
+    assert all(s[2] == (0,) for s in seen)  # unconstrained: empty fi
+
+    t0 = time.monotonic()
+    _, history = run_mma_fused(
+        objective_and_grad,
+        jnp.ones((2,)),
+        xmin=-2.0 * jnp.ones(2),
+        xmax=2.0 * jnp.ones(2),
+        n_iterations=10_000,
+        chunk=2,
+        callback=lambda *a: time.sleep(0.05),
+        max_seconds=0.5,
+    )
+    assert history.get("stopped_early") == "max_seconds"
+    assert 0 < len(history["objective_values"]) < 10_000
+    assert time.monotonic() - t0 < 30
+
+
+def test_mma_feasibility_restoration_at_termination():
+    """nlopt-parity feasibility: a run terminated while still infeasible
+    gets constraint-only restoration iterations; the returned design
+    satisfies max(fi) <= feasibility_tol and the history records the
+    restoration (one extra, re-evaluated entry)."""
+
+    import numpy as np
+    from difflexmm_tpu.optim.mma import run_mma, run_mma_fused
+
+    def objective_and_grad(x):
+        return jax.value_and_grad(lambda z: jnp.sum((z - 2.0) ** 2))(x)
+
+    def constraints_and_jac(x):
+        stacked = lambda z: jnp.array([z[0] + z[1] - 2.0])
+        return stacked(x), jax.jacobian(stacked)(x)
+
+    tol = 1e-6
+    for driver, kwargs in (
+        (run_mma, {}),
+        (run_mma_fused, dict(chunk=2)),
+    ):
+        # Infeasible start + 2 iterations: terminates violated.
+        x_final, history = driver(
+            objective_and_grad,
+            jnp.array([2.0, 2.0]),
+            xmin=-5.0 * jnp.ones(2),
+            xmax=5.0 * jnp.ones(2),
+            n_iterations=2,
+            constraints_and_jac=constraints_and_jac,
+            move_limit=0.05,  # small steps: can't reach feasibility in 2
+            feasibility_tol=tol,
+            **kwargs,
+        )
+        record = history["restoration"]
+        assert record["violation_before"] > tol
+        assert record["iterations"] >= 1
+        assert record["violation_after"] <= tol
+        fi, _ = constraints_and_jac(jnp.asarray(x_final))
+        assert float(jnp.max(fi)) <= tol
+        # The restored design was re-evaluated and appended.
+        assert len(history["objective_values"]) == 3
+        assert np.allclose(
+            np.asarray(history["design_values"][-1]), np.asarray(x_final)
+        )
+        # Already-feasible runs are untouched (no extra entry).
+        x2, h2 = driver(
+            objective_and_grad,
+            jnp.zeros(2),
+            xmin=-5.0 * jnp.ones(2),
+            xmax=5.0 * jnp.ones(2),
+            n_iterations=3,
+            constraints_and_jac=constraints_and_jac,
+            feasibility_tol=1e-3,
+            **kwargs,
+        )
+        assert h2["restoration"]["iterations"] == 0
+        assert len(h2["objective_values"]) == 3

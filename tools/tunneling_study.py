@@ -41,14 +41,26 @@ sys.path.insert(0, str(REPO))
 _EMIT = "--emit"
 
 #: case name -> (x64, n_substeps, method, guard, use_contact)
+#:
+#: Guard variants at the n=5 rescue case (r5): "auto" is now the
+#: proximity-gated cost-proportional spec — at n=5 it rescues the NaN via
+#: the HARD stability term but integrates the (badly under-resolved)
+#: pulse coarsely wherever voids stay far from the barrier, so its
+#: accuracy reflects n=5 truncation error, not guard failure. The
+#: travel-only dict spec ({} -> window/length_scale from the model, no
+#: proximity keys) refines on travel anywhere — effectively adaptive
+#: global accuracy — and preserves the r4 rescue-accuracy record.
 CASES = {
     "f64_odeint_oracle": (True, 10, "odeint", None, True),
     "f64_n5_plain": (True, 5, "verlet", None, True),
     "f64_n5_nocontact": (True, 5, "verlet", None, False),
-    "f64_n5_guarded": (True, 5, "verlet", "auto", True),
+    "f64_n5_guarded": (True, 5, "verlet", {}, True),
+    "f64_n5_guarded_auto": (True, 5, "verlet", "auto", True),
     "f32_n5_plain": (False, 5, "verlet", None, True),
-    "f32_n5_guarded": (False, 5, "verlet", "auto", True),
+    "f32_n5_guarded": (False, 5, "verlet", {}, True),
+    "f32_n5_guarded_auto": (False, 5, "verlet", "auto", True),
     "f32_n10_plain": (False, 10, "verlet", None, True),
+    "f32_n10_guarded_auto": (False, 10, "verlet", "auto", True),
 }
 
 
