@@ -125,19 +125,30 @@ def split_ref_planes(ref, n1: int, n2: int):
 
 
 def kagome_grid_energy_planes(
-    U,  # (6, n2, n1)
-    cnv,  # (2, 3, 2, n2, n1)
-    centroids,  # (2, 2, n2, n1)
+    U,  # (6, *lead, n2, n1)
+    cnv,  # (2, 3, 2, *lead, n2, n1)
+    centroids,  # (2, 2, *lead, n2, n1)
     ref_i, ref_b1, ref_b2,
     ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
     cmin, ccut, kc,
     linearized: bool = False,
     use_contact: bool = True,
+    b2_contact_mask=None,
 ):
     """Total strain (+ contact) energy of the kagome lattice on planes.
 
     Same physics as ops/kagome_grid.py:build_kagome_grid_energy, in SoA
     layout (bond ends and void corners per family documented there).
+
+    Slicing is ellipsis-based on the trailing (n2, n1) pair, so planes may
+    carry extra leading dims — the design-tiled batched layout
+    (ops/pallas/tiling.py applied to kagome CELL planes) packs B2 designs
+    along the lane (n1) axis and B1 along a leading dim. Only the
+    boundary-2 family (cell (j, i) <-> (j, i+1)) crosses lane seams:
+    seam bonds get zero stiffness + a safe reference from the tiler, and
+    ``b2_contact_mask`` (broadcastable to the b2 void planes
+    (*lead, n2, n1-1)) zeroes the seam-crossing contact barrier. Internal
+    bonds never leave a cell and boundary-1 bonds cross rows only.
     """
 
     # Node displacements per triangle (d) / corner (k): 3 planes each side.
@@ -162,16 +173,16 @@ def kagome_grid_energy_planes(
     )
     # Boundary-1 bonds: down corner 0 of (j+1, i) -> up corner 2 of (j, i).
     e_b1 = _ligament_planes(
-        up[2][0][:-1, :] - down[0][0][1:, :],
-        up[2][1][:-1, :] - down[0][1][1:, :],
-        thd[1:, :], thu[:-1, :], ref_b1[0], ref_b1[1],
+        up[2][0][..., :-1, :] - down[0][0][..., 1:, :],
+        up[2][1][..., :-1, :] - down[0][1][..., 1:, :],
+        thd[..., 1:, :], thu[..., :-1, :], ref_b1[0], ref_b1[1],
         ks_b1, ksh_b1, kr_b1, linearized,
     )
     # Boundary-2 bonds: down corner 2 of (j, i+1) -> up corner 1 of (j, i).
     e_b2 = _ligament_planes(
-        up[1][0][:, :-1] - down[2][0][:, 1:],
-        up[1][1][:, :-1] - down[2][1][:, 1:],
-        thd[:, 1:], thu[:, :-1], ref_b2[0], ref_b2[1],
+        up[1][0][..., :, :-1] - down[2][0][..., :, 1:],
+        up[1][1][..., :, :-1] - down[2][1][..., :, 1:],
+        thd[..., :, 1:], thu[..., :, :-1], ref_b2[0], ref_b2[1],
         ks_b2, ksh_b2, kr_b2, linearized,
     )
     energy = jnp.sum(e_i) + jnp.sum(e_b1) + jnp.sum(e_b2)
@@ -210,15 +221,23 @@ def kagome_grid_energy_planes(
         )
 
     sl = jnp.index_exp
-    full = sl[:, :]
+    full = sl[...]
+    kc_b2 = kc if b2_contact_mask is None else kc * b2_contact_mask
     gaps = (
-        *voids(p[0], 1, p[1], 0, full, full),                  # internal
-        *voids(p[0], 0, p[1], 2, sl[1:, :], sl[:-1, :]),       # boundary 1
-        *voids(p[0], 2, p[1], 1, sl[:, 1:], sl[:, :-1]),       # boundary 2
+        # internal
+        *((g, kc) for g in voids(p[0], 1, p[1], 0, full, full)),
+        # boundary 1
+        *((g, kc) for g in voids(
+            p[0], 0, p[1], 2, sl[..., 1:, :], sl[..., :-1, :]
+        )),
+        # boundary 2 (the only family crossing design seams when tiled)
+        *((g, kc_b2) for g in voids(
+            p[0], 2, p[1], 1, sl[..., :, 1:], sl[..., :, :-1]
+        )),
     )
     contact = sum(
-        jnp.sum(contact_energy(g, min_angle=cmin, cutoff_angle=ccut, k_contact=kc))
-        for g in gaps
+        jnp.sum(contact_energy(g, min_angle=cmin, cutoff_angle=ccut, k_contact=k))
+        for g, k in gaps
     )
     return energy + contact
 
@@ -259,15 +278,15 @@ def kagome_min_void_gap_planes(U, cnv, centroids, ccut):
         )
 
     sl = jnp.index_exp
-    full = sl[:, :]
+    full = sl[...]
     gaps = (
         voids(p[0], 1, p[1], 0, full, full)
-        + voids(p[0], 0, p[1], 2, sl[1:, :], sl[:-1, :])
-        + voids(p[0], 2, p[1], 1, sl[:, 1:], sl[:, :-1])
+        + voids(p[0], 0, p[1], 2, sl[..., 1:, :], sl[..., :-1, :])
+        + voids(p[0], 2, p[1], 1, sl[..., :, 1:], sl[..., :, :-1])
     )
-    out = gaps[0]
+    out = jnp.min(gaps[0])
     for g in gaps[1:]:
-        out = jnp.minimum(out, g)
+        out = jnp.minimum(out, jnp.min(g))
     return out - jnp.min(ccut)
 
 
@@ -289,19 +308,26 @@ def _kagome_gap_of(use_contact: bool) -> Callable:
     return gap_of
 
 
-def _kagome_energy_of(linearized: bool, use_contact: bool) -> Callable:
-    """Bind kagome_grid_energy_planes to the fixed-leaves convention."""
+def _kagome_energy_of(
+    linearized: bool, use_contact: bool, tiled: bool = False
+) -> Callable:
+    """Bind kagome_grid_energy_planes to the fixed-leaves convention.
+
+    ``tiled``: the design-tiled layout appends one extra fixed leaf — the
+    boundary-2 seam contact mask (see ops/pallas/tiling.py)."""
 
     def energy_of(U, fixed):
         # The tail (inertia, damping, mask, scatter factors) is solver data.
         (cnv, centroids, ref_i, ref_b1, ref_b2,
          ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
          cmin, ccut, kc) = fixed[:17]
+        b2_mask = fixed[17] if tiled else None
         return kagome_grid_energy_planes(
             U, cnv, centroids, ref_i, ref_b1, ref_b2,
             ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1, ks_b2, ksh_b2, kr_b2,
             cmin, ccut, kc,
             linearized=linearized, use_contact=use_contact,
+            b2_contact_mask=b2_mask,
         )
 
     return energy_of
@@ -320,17 +346,25 @@ def build_pallas_kagome_trajectory(
     chunk: int = None,
     forward_impl: str = "pallas",
     guard=None,
+    tiled: bool = False,
 ):
     """Chunked whole-trajectory fused kagome kernel; see
     core.build_verlet_trajectory. ``guard``: reactive substep escalation
-    (core.resolve_guard; theta lives in plane channels 2 and 5)."""
+    (core.resolve_guard; theta lives in plane channels 2 and 5).
+    ``tiled``: design-tiled batched layout — planes carry (B1, n2, B2*n1)
+    and the fixed leaves gain the boundary-2 seam contact mask after the
+    contact scalars (ops/pallas/tiling.py)."""
 
-    n_fixed = N_FIXED_ARRAYS + (3 if load_values_fn is not None else 0)
+    n_fixed = (
+        N_FIXED_ARRAYS
+        + (1 if tiled else 0)
+        + (3 if load_values_fn is not None else 0)
+    )
     return core.build_verlet_trajectory(
         n_fixed,
         n_substeps,
         n_timepoints,
-        _kagome_energy_of(linearized, use_contact),
+        _kagome_energy_of(linearized, use_contact, tiled=tiled),
         drive_values_fn,
         load_values_fn=load_values_fn,
         interpret=interpret,

@@ -374,6 +374,13 @@ def run_multistart_mma(
     )
 
 
+#: Per-objective cache of the jitted finalist map (reevaluate_finalists):
+#: weak keys so model objectives don't leak across rebuilt problems.
+import weakref
+
+_FINALIST_MAPS = weakref.WeakKeyDictionary()
+
+
 class FinalistResult(NamedTuple):
     indices: any         # (k,) population indices of the finalists, ranked
     values: any          # (k,) re-evaluated objectives, same order
@@ -436,9 +443,17 @@ def reevaluate_finalists(
     finalists = jax.tree.map(lambda d: d[idx], designs)
     # The map MUST run compiled: an eager lax.map dispatches the guarded
     # objective op-by-op (measured 866 ms/candidate through the tunnel vs
-    # 27 ms compiled, RESCUE_RECIPE.json r5). One trace per call is fine —
-    # finalist re-evaluation happens once per multi-start run.
-    values = jax.jit(lambda f: jax.lax.map(objective_fn, f))(finalists)
+    # 27 ms compiled, RESCUE_RECIPE.json r5). The jitted map is cached per
+    # objective function so repeated re-evaluations (screen/re-rank loops,
+    # benchmarks) hit the jit cache instead of re-tracing.
+    mapped = _FINALIST_MAPS.get(objective_fn)
+    if mapped is None:
+        mapped = jax.jit(lambda f: jax.lax.map(objective_fn, f))
+        try:
+            _FINALIST_MAPS[objective_fn] = mapped
+        except TypeError:  # unhashable/weakref-less callables: no cache
+            pass
+    values = mapped(finalists)
     revalued = jnp.where(
         jnp.isfinite(values), values, -jnp.inf if maximize else jnp.inf
     )

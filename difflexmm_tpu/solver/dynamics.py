@@ -51,6 +51,23 @@ FAST_METHODS = ("verlet_pallas", "verlet_ckpt", "auto")
 # populations larger than this to "verlet_ckpt".
 _AUTO_MAX_TILED_BATCH = 96
 
+# Kagome analogue (r5): the kagome design-tiled kernel packs B2 = 128//n1
+# designs along the cell-lane axis with seam-masked boundary-2
+# bonds/contacts. Measured crossover vs the lane-packed verlet_ckpt scan
+# (KAGOME_MULTISTART.json tiled_crossover_probe, 12x10 cells on v5e):
+# tiled wins fwd+grad at B <= 64 (360 vs 284 designs/s at B=32, 665 vs
+# 631 at B=64), ckpt wins past it (947 vs 759 at B=96) — the kagome B1
+# is VMEM-capped at 3 (_KAGOME_MAX_SUBLANES), so lane packing overtakes
+# earlier than the quads rule's 96.
+_AUTO_MAX_TILED_BATCH_KAGOME = 64
+
+# Kagome sublane cap for choose_tiling's B1 (quads use tiling._MAX_SUBLANES
+# = 64): the 6-channel kagome interval body holds ~1.5x the quad residues,
+# and scoped VMEM charges padded (B1*n2 sublane x 128-lane) tiles — at the
+# 12x10-cell bench B1*n2 = 40 sublanes measured 16.15 MB against the 16 MB
+# v5e cap (B1*n2 = 60 overflows by 3.2 MB). 30 sublanes fits with margin.
+_KAGOME_MAX_SUBLANES = 30
+
 
 def resolve_method(
     quad_grid=None,
@@ -766,7 +783,37 @@ def setup_dynamic_solver(
                 )
             return 0.0, 1.0, 0.0
 
-        if not is_kagome:
+        if is_kagome:
+            def _kagome_fixed_core(control_params, inertia):
+                """The 20 per-design kagome fixed leaves (physics planes,
+                contact scalars, solver planes), ending at the free-DOF
+                mask — everything before the scatter factors. vmap-able
+                for the design-tiled batch path (ops/pallas/tiling.py)."""
+
+                mp = control_params.mechanical_params
+                gp = control_params.geometrical_params
+                cmin, ccut, kc = _contact_scalars(mp)
+                bp = mp.bond_params
+                ks_i, ks_b1, ks_b2 = _split_bonds(bp.k_stretch, g_n1, g_n2)
+                ksh_i, ksh_b1, ksh_b2 = _split_bonds(bp.k_shear, g_n1, g_n2)
+                kr_i, kr_b1, kr_b2 = _split_bonds(bp.k_rot, g_n1, g_n2)
+                ref_i, ref_b1, ref_b2 = _split_refs(
+                    bp.reference_vector, g_n1, g_n2
+                )
+                return (
+                    _cnv_to_planes(gp.centroid_node_vectors, g_n1, g_n2),
+                    _centroids_to_planes(gp.block_centroids, g_n1, g_n2),
+                    ref_i, ref_b1, ref_b2,
+                    ks_i, ksh_i, kr_i,
+                    ks_b1, ksh_b1, kr_b1,
+                    ks_b2, ksh_b2, kr_b2,
+                    jnp.asarray(cmin, float), jnp.asarray(ccut, float),
+                    jnp.asarray(kc, float),
+                    _to_planes(inertia, g_n1, g_n2),
+                    _to_planes(_p_damping_coeffs(mp.damping), g_n1, g_n2),
+                    _to_planes(dof_set.free_mask, g_n1, g_n2),
+                )
+        else:
             def _quad_fixed_core(control_params, inertia):
                 """The 16 per-design quad fixed leaves (physics + solver
                 planes), ending at the free-DOF mask — everything before
@@ -802,10 +849,6 @@ def setup_dynamic_solver(
                 )
 
         def _pallas_arrays(control_params, inertia, dtype):
-            mp = control_params.mechanical_params
-            gp = control_params.geometrical_params
-
-            cmin, ccut, kc = _contact_scalars(mp)
             keys = tuple(sorted(control_params.constraint_params.keys()))
             drive_args = [control_params.constraint_params[k] for k in keys]
             loading_params = control_params.loading_params or {}
@@ -814,35 +857,12 @@ def setup_dynamic_solver(
                 [loading_params[k] for k in lkeys] if has_pallas_loading else None
             )
 
-            common_tail = (
-                cmin, ccut, kc,
-                _to_planes(inertia, g_n1, g_n2),
-                _to_planes(_p_damping_coeffs(mp.damping), g_n1, g_n2),
-                _to_planes(dof_set.free_mask, g_n1, g_n2),
-            ) + S  # factorized (S_chan, S_row, S_col) drive scatter
-            if has_pallas_loading:
-                common_tail = common_tail + S_load
-
             if is_kagome:
-                bp = mp.bond_params
-                ks_i, ks_b1, ks_b2 = _split_bonds(bp.k_stretch, g_n1, g_n2)
-                ksh_i, ksh_b1, ksh_b2 = _split_bonds(bp.k_shear, g_n1, g_n2)
-                kr_i, kr_b1, kr_b2 = _split_bonds(bp.k_rot, g_n1, g_n2)
-                ref_i, ref_b1, ref_b2 = _split_refs(
-                    bp.reference_vector, g_n1, g_n2
-                )
-                fixed = (
-                    _cnv_to_planes(gp.centroid_node_vectors, g_n1, g_n2),
-                    _centroids_to_planes(gp.block_centroids, g_n1, g_n2),
-                    ref_i, ref_b1, ref_b2,
-                    ks_i, ksh_i, kr_i,
-                    ks_b1, ksh_b1, kr_b1,
-                    ks_b2, ksh_b2, kr_b2,
-                ) + common_tail
+                fixed = _kagome_fixed_core(control_params, inertia) + S
             else:
                 fixed = _quad_fixed_core(control_params, inertia) + S
-                if has_pallas_loading:
-                    fixed = fixed + S_load
+            if has_pallas_loading:
+                fixed = fixed + S_load
             return keys, lkeys, normalize_arrays(
                 fixed, drive_args, dtype, load_args=load_args
             )
@@ -1193,46 +1213,246 @@ def setup_dynamic_solver(
         method == "verlet_pallas"
         and kagome_grid is not None
         and batch_tiling != "off"
-        and (was_auto or isinstance(batch_tiling, dict))
     ):
-        # Kagome has no design-tiled layout (the 6-plane kernel packs
-        # cells, not designs); routing here is the measured population
-        # dispatch: vmapping the SoA Pallas kernel is the worst batching
-        # strategy at any size (the kernel's (n2, n1) tiles are mostly
-        # lane padding under vmap — KAGOME_MULTISTART.json / bench.py
-        # kagome sweep), so method="auto" reroutes ALL vmapped
-        # populations to a lazily built verlet_ckpt sibling; an explicit
-        # "verlet_pallas" keeps Pallas numerics up to
-        # batch_tiling={"max_batch": N} and reroutes past it.
+        # Kagome design tiling (r5): the same super-lattice trick as the
+        # quads rule above, on CELL planes — B2 = 128 // n1 designs side
+        # by side along the lane axis, B1 along a leading dim. Only the
+        # boundary-2 bond family (cell (j, i) <-> (j, i+1)) crosses lane
+        # seams: seam bonds get zero stiffness + a safe (1, 0) reference
+        # and the boundary-2 contact pairs are zeroed through the seam
+        # mask leaf (verlet_kagome.kagome_grid_energy_planes
+        # b2_contact_mask). Populations past the measured crossover (or
+        # un-tileable ones under method="auto") reroute to the lazily
+        # built verlet_ckpt sibling, whose lane-packed XLA scan wins at
+        # scale (KAGOME_MULTISTART.json).
         from jax import custom_batching
+
+        from difflexmm_tpu.ops.pallas import tiling as _tilemod
 
         _plain_solve = solve_dynamics
         _tile_cfg = batch_tiling if isinstance(batch_tiling, dict) else {}
-        _max_routing_batch = _tile_cfg.get("max_batch", 0 if was_auto else None)
-        _kagome_fallback_solve, _fallback_cache = _lazy_fallback(
+        _max_tiled_batch = _tile_cfg.get(
+            "max_batch",
+            _AUTO_MAX_TILED_BATCH_KAGOME if was_auto else None,
+        )
+        _fallback_solve, _fallback_cache = _lazy_fallback(
             _setup_kwargs, _tile_cfg.get("fallback_method", "verlet_ckpt")
         )
 
-        _kwrapped = custom_batching.custom_vmap(solve_dynamics)
+        def _kagome_tiled_solve(
+            state0, s0_batched, timepoints, cp, cp_bools, B
+        ):
+            state0 = jnp.asarray(state0)
+            dtype = state0.dtype
+            timepoints = jnp.asarray(timepoints).astype(dtype)
+            b1_cfg = _tile_cfg.get("b1")
+            if b1_cfg is None:
+                b1_cfg = max(1, _KAGOME_MAX_SUBLANES // g_n2)
+            b1, b2, n_tiles = _tilemod.choose_tiling(
+                B, g_n1, g_n2, b1_cfg, _tile_cfg.get("b2")
+            )
+            Bp = b1 * b2 * n_tiles
+
+            def prep(x, batched):
+                x = jnp.asarray(x)
+                if batched:
+                    return _tilemod.pad_batch(x, Bp)
+                return jnp.broadcast_to(x[None], (Bp,) + x.shape)
+
+            gp_b = jax.tree.map(
+                prep, cp.geometrical_params, cp_bools.geometrical_params
+            )
+            mp_b = jax.tree.map(
+                prep, cp.mechanical_params, cp_bools.mechanical_params
+            )
+            y0_b = prep(state0 * dof_set.free_mask, s0_batched)
+
+            def fixed_core(gp, mp):
+                cp1 = cp._replace(
+                    geometrical_params=gp, mechanical_params=mp
+                )
+                return _kagome_fixed_core(cp1, _resolve_inertia(cp1))
+
+            (cnv, cen, ref_i, ref_b1, ref_b2,
+             ks_i, ksh_i, kr_i, ks_b1, ksh_b1, kr_b1,
+             ks_b2, ksh_b2, kr_b2,
+             cmin, ccut, kc, inert, damp, mask) = (
+                jax.vmap(fixed_core)(gp_b, mp_b)
+            )
+
+            i_shape = (g_n2, g_n1)
+            b1_shape = (g_n2 - 1, g_n1)
+            b2_shape = (g_n2, g_n1 - 1)
+
+            def full(x, shape):
+                while x.ndim < 1 + len(shape):
+                    x = x[..., None]
+                return jnp.broadcast_to(x, (Bp,) + shape)
+
+            def tp(x):
+                return _tilemod.tile_planes(x, b1, b2)
+
+            def th(x, pad_value=0.0):
+                return _tilemod.tile_h_planes(x, b1, b2, pad_value)
+
+            # Order must match _kagome_energy_of(tiled=True): 14 physics
+            # leaves, 3 contact scalars, the boundary-2 seam contact
+            # mask, then the solver tail.
+            fixed_tiled = (
+                tp(cnv), tp(cen),
+                tp(ref_i), tp(ref_b1),
+                # Seam reference vectors are (1, 0): a zero reference
+                # would make the ligament's 1/l0^2 terms 0/0 at k = 0.
+                jnp.stack(
+                    [th(ref_b2[:, 0], 1.0), th(ref_b2[:, 1], 0.0)], axis=1
+                ),
+                tp(full(ks_i, i_shape)), tp(full(ksh_i, i_shape)),
+                tp(full(kr_i, i_shape)),
+                tp(full(ks_b1, b1_shape)), tp(full(ksh_b1, b1_shape)),
+                tp(full(kr_b1, b1_shape)),
+                th(full(ks_b2, b2_shape)), th(full(ksh_b2, b2_shape)),
+                th(full(kr_b2, b2_shape)),
+                cmin[0], ccut[0], kc[0],
+                _tilemod.h_seam_mask(g_n1, b2, dtype),
+                tp(inert), tp(damp), tp(mask),
+                S[0], S[1], _tilemod.tile_scatter_cols(S[2], b2),
+            )
+            tiled_flags = (
+                [True] * 14 + [False] * 4 + [True] * 3 + [False] * 3
+            )
+            if has_pallas_loading:
+                fixed_tiled = fixed_tiled + (
+                    S_load[0], S_load[1],
+                    _tilemod.tile_scatter_cols(S_load[2], b2),
+                )
+                tiled_flags += [False] * 3
+
+            keys = tuple(sorted(cp.constraint_params.keys()))
+            drive_args = [cp.constraint_params[k] for k in keys]
+            loading_params = cp.loading_params or {}
+            lkeys = tuple(sorted(loading_params.keys()))
+            load_args = (
+                [loading_params[k] for k in lkeys]
+                if has_pallas_loading else None
+            )
+            arrays = normalize_arrays(
+                fixed_tiled, drive_args, dtype, load_args=load_args
+            )
+            if has_pallas_loading:
+                example_drive, example_load = arrays[-2], arrays[-1]
+            else:
+                example_drive, example_load = arrays[-1], ()
+            trajectory, drive_consts, load_consts = _pallas_trajectory_for(
+                keys, lkeys, len(timepoints), example_drive, example_load,
+                dtype, tiled=True,
+            )
+            if has_pallas_loading:
+                arrays = arrays[:-2] + (
+                    arrays[-2] + drive_consts, arrays[-1] + load_consts
+                )
+                arr_axes = tuple(
+                    0 if f else None for f in tiled_flags
+                ) + (None, None)
+            else:
+                arrays = arrays[:-1] + (arrays[-1] + drive_consts,)
+                arr_axes = tuple(
+                    0 if f else None for f in tiled_flags
+                ) + (None,)
+
+            U0 = tp(jax.vmap(lambda y: _to_planes(y, g_n1, g_n2))(y0_b[:, 0]))
+            V0 = tp(jax.vmap(lambda y: _to_planes(y, g_n1, g_n2))(y0_b[:, 1]))
+
+            off = 6 if has_pallas_loading else 2
+
+            def run_one(U0_t, V0_t, arrs):
+                inertia_p = arrs[-5 - off]
+                damping_c = arrs[-4 - off]
+                mask_p = arrs[-3 - off]
+                inv_m = mask_p / inertia_p
+                F0 = trajectory.force_fn(U0_t, timepoints[0], arrs)
+                A0 = (F0 - damping_c * V0_t) * inv_m
+                return trajectory((U0_t, V0_t, A0), timepoints, arrs)
+
+            outU, outV, _ = jax.vmap(run_one, in_axes=(0, 0, arr_axes))(
+                U0, V0, arrays
+            )
+
+            def to_fields(x):
+                x = _tilemod.untile_planes(x, b1, b2)  # (Bp, T-1, 6, n2, n1)
+                T1 = x.shape[1]
+                x = x.reshape(Bp, T1, 2, 3, g_n2, g_n1)
+                x = jnp.transpose(x, (0, 1, 4, 5, 2, 3))
+                return x.reshape(Bp, T1, n_blocks, 3)
+
+            ys = jnp.concatenate(
+                [
+                    y0_b[:, None],
+                    jnp.stack([to_fields(outU), to_fields(outV)], axis=2),
+                ],
+                axis=1,
+            )  # (Bp, T, 2, nb, 3)
+
+            if dof_set.n_constrained:
+                cparams = cp.constraint_params
+
+                def drive_and_rate(t):
+                    return jax.jvp(
+                        lambda tt: _drive_values(tt, cparams), (t,),
+                        (jnp.ones_like(t),),
+                    )
+
+                c_vals, c_rates = jax.vmap(drive_and_rate)(timepoints)
+                u = ys[:, :, 0].at[
+                    :, :,
+                    dof_set.constrained_blocks, dof_set.constrained_dofs,
+                ].set(c_vals[None])
+                v = ys[:, :, 1].at[
+                    :, :,
+                    dof_set.constrained_blocks, dof_set.constrained_dofs,
+                ].set(c_rates[None])
+                ys = jnp.stack([u, v], axis=2)
+            return ys[:B]
+
+        _kwrapped = custom_batching.custom_vmap(_plain_solve)
 
         @_kwrapped.def_vmap
         def _kagome_vmap_rule(
             axis_size, in_batched, state0, timepoints, control_params
         ):
-            axes = jax.tree.map(lambda b: 0 if b else None, in_batched)
-            reroute = (
-                _max_routing_batch is not None
-                and axis_size > _max_routing_batch
-            )
-            target = _kagome_fallback_solve() if reroute else _plain_solve
-            out = jax.vmap(target, in_axes=tuple(axes))(
-                state0, timepoints, control_params
-            )
-            return out, True
+            s0_b, t_b, cp_bools = in_batched
 
-        if _max_routing_batch is not None:
-            solve_dynamics = _make_batch_dispatcher(_plain_solve, _kwrapped)
-            solve_dynamics._tiling_fallback_cache = _fallback_cache
+            def _any(tree):
+                return any(bool(x) for x in jax.tree.leaves(tree))
+
+            eligible = guard is None and not (
+                _any(t_b)
+                or _any(cp_bools.constraint_params)
+                or _any(cp_bools.loading_params)
+                or _any(cp_bools.mechanical_params.contact_params)
+            )
+            oversized = (
+                _max_tiled_batch is not None and axis_size > _max_tiled_batch
+            )
+            if not eligible or oversized:
+                axes = jax.tree.map(lambda b: 0 if b else None, in_batched)
+                reroute = _max_tiled_batch is not None and (
+                    oversized or was_auto
+                )
+                target = _fallback_solve() if reroute else _plain_solve
+                out = jax.vmap(target, in_axes=tuple(axes))(
+                    state0, timepoints, control_params
+                )
+                return out, True
+            return (
+                _kagome_tiled_solve(
+                    state0, bool(s0_b), timepoints, control_params,
+                    cp_bools, axis_size,
+                ),
+                True,
+            )
+
+        solve_dynamics = _make_batch_dispatcher(_plain_solve, _kwrapped)
+        solve_dynamics._tiling_fallback_cache = _fallback_cache
 
     solve_dynamics.dof_set = dof_set
     solve_dynamics.rhs = rhs

@@ -255,13 +255,14 @@ def test_kagome_fused_force_loading_matches_verlet():
 
 
 def test_kagome_auto_population_routes_to_ckpt():
-    """Kagome has no design-tiled layout; under method="auto" a vmapped
-    population must reroute to the lazily built verlet_ckpt sibling (a
+    """Under method="auto" a vmapped kagome population PAST the tiling
+    crossover must reroute to the lazily built verlet_ckpt sibling (a
     plain vmap of the SoA Pallas kernel is the measured-worst batching
-    strategy), matching per-design solves exactly."""
+    strategy), matching per-design solves exactly. Small populations
+    design-tile instead (test_kagome_design_tiling_parity)."""
 
     solve, state0, timepoints, cp, design, _ = _setup(
-        "auto", pallas_interpret=True,
+        "auto", pallas_interpret=True, batch_tiling=dict(max_batch=2),
     )
     solve_ref, *_ = _setup("verlet")
 
@@ -320,7 +321,7 @@ def test_kagome_explicit_pallas_keeps_pallas_below_cap():
 
     jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps_for(ks2))
     assert not solve._tiling_fallback_cache, (
-        "2 <= max_batch=2 must stay on the plain Pallas vmap"
+        "2 <= max_batch=2 must stay on Pallas numerics (design-tiled)"
     )
     ks3 = jnp.array([0.9, 1.0, 1.1])
     jax.vmap(solve, in_axes=(None, None, 0))(state0, timepoints, cps_for(ks3))
@@ -336,7 +337,7 @@ def test_kagome_auto_population_routes_under_jit():
     the kagome multistart bench on TPU)."""
 
     solve, state0, timepoints, cp, design, _ = _setup(
-        "auto", pallas_interpret=True,
+        "auto", pallas_interpret=True, batch_tiling=dict(max_batch=2),
     )
     ks = jnp.array([0.9, 1.0, 1.1])
 
@@ -363,3 +364,57 @@ def test_kagome_auto_population_routes_under_jit():
         [solve_ref(state0, timepoints, cps_for(float(k))) for k in ks]
     )
     assert jnp.allclose(out, ref, atol=1e-6), float(jnp.max(jnp.abs(out - ref)))
+
+
+def test_kagome_design_tiling_parity():
+    """The kagome design-tiling rule (r5): a small eligible population
+    under vmap runs as ONE seam-masked super-lattice kernel trajectory
+    (B2 designs along the cell-lane axis) — no ckpt fallback is built —
+    and matches per-design solves in value AND vjp-of-vmap gradients."""
+
+    solve, state0, timepoints, cp, design, _ = _setup(
+        "verlet_pallas", pallas_interpret=True,
+    )
+    solve_ref, *_ = _setup("verlet")
+    ks = jnp.array([0.9, 1.0, 1.1])
+
+    def cp_for(k):
+        return cp._replace(
+            mechanical_params=cp.mechanical_params._replace(
+                bond_params=cp.mechanical_params.bond_params._replace(
+                    k_stretch=k
+                )
+            )
+        )
+
+    out = jax.vmap(solve, in_axes=(None, None, 0))(
+        state0, timepoints, jax.vmap(cp_for)(ks)
+    )
+    assert not solve._tiling_fallback_cache, (
+        "small eligible kagome population must design-tile, not reroute"
+    )
+    ref = jnp.stack(
+        [solve_ref(state0, timepoints, cp_for(float(k))) for k in ks]
+    )
+    assert float(jnp.max(jnp.abs(ref))) > 1e-5
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-6
+
+    def batched_obj(kv):
+        o = jax.vmap(solve, in_axes=(None, None, 0))(
+            state0, timepoints, jax.vmap(cp_for)(kv)
+        )
+        return jnp.sum(o[:, :, 1] ** 2, axis=(1, 2, 3))
+
+    vals, pull = jax.vjp(batched_obj, ks)
+    (g,) = pull(jnp.ones_like(vals))
+    g_ref = jnp.stack([
+        jax.grad(
+            lambda k: jnp.sum(
+                solve_ref(state0, timepoints, cp_for(k))[:, 1] ** 2
+            )
+        )(k)
+        for k in ks
+    ])
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=1e-6
+    )

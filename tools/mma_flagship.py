@@ -74,6 +74,17 @@ def flagship(n_iterations: int = 80, guarded: bool = False):
     else:
         optimization, design = build_flagship()
     spacing = 15.0
+
+    # Steady-state s/iter from per-iteration callback stamps: with the
+    # r5 on-device loop (run_mma_fused) iterations land in chunks of one
+    # device dispatch each, so chunk 0 absorbs the scan compile and the
+    # later chunks are the production rate.
+    stamps = []
+
+    class _Stamps:
+        def log(self, *a, **k):
+            stamps.append(time.perf_counter())
+
     t0 = time.perf_counter()
     optimization.run_optimization_mma(
         design,
@@ -85,8 +96,20 @@ def flagship(n_iterations: int = 80, guarded: bool = False):
         min_edge_length=0.05 * spacing,
         move_limit=0.08,
         verbose=True,
+        metrics_logger=_Stamps(),
+        # The drivers now re-arm guard="auto" by default; the unguarded
+        # baseline record must opt out explicitly to stay a baseline.
+        guard="auto" if guarded else None,
+        chunk=10,
     )
     total = time.perf_counter() - t0
+    chunk = 10
+    ends = [t for i, t in enumerate(stamps) if (i + 1) % chunk == 0]
+    steady = (
+        min(b - a for a, b in zip(ends[:-1], ends[1:])) / chunk
+        if len(ends) > 2
+        else total / max(n_iterations, 1)
+    )
 
     values = [float(v) for v in optimization.objective_values]
     violations = {
@@ -113,6 +136,8 @@ def flagship(n_iterations: int = 80, guarded: bool = False):
         "n_iterations": n_iterations,
         "total_seconds": round(total, 1),
         "seconds_per_iteration": round(total / n_iterations, 3),
+        "steady_seconds_per_iteration": round(steady, 4),
+        "loop": "run_mma_fused device scan, chunk=10",
         "reference_budget": "80 iterations / 8 h (problems/quads_focusing.py:546-649)",
         "objective_initial": values[0],
         "objective_final": values[-1],
