@@ -500,9 +500,16 @@ class OptimizationRunnerMixin:
         lower_bound=None,
         upper_bound=None,
         verbose: bool = True,
+        guard="auto",
     ):
-        """Unconstrained (box-projected) inverse design with optax."""
+        """Unconstrained (box-projected) inverse design with optax.
 
+        ``guard``: like ``run_optimization_mma`` — re-arms the forward
+        solver's substep guard (default "auto", proximity-gated) so the
+        optimizer tracks honest physics; ``None`` opts out.
+        """
+
+        self._ensure_guarded(guard)
         if not self.is_setup:
             self.setup_objective()
 
